@@ -1,0 +1,1141 @@
+"""Spec → DataFrame-plan compiler: the engine's core.
+
+The reference (Snow) *interprets* a JSON Schema per instance with a
+recursive tree walker
+(`/root/reference/src/main/java/com/qindesign/json/schema/ValidatorContext.java:1196-1311`).
+This engine instead **compiles** a declarative constraint spec (the same
+keyword surface, SURVEY.md §2) against a DataFrame's static StructType
+into pure ``pyspark.sql.Column`` boolean expressions — one vectorized
+``select`` evaluates every row-scope constraint under whole-stage
+codegen; no per-row Python, no runtime schema walking.  Snow itself
+lists "compile into an internal representation" as future work
+(`/root/reference/README.md:541-542`); on Spark that compilation step is
+the whole design.
+
+Key semantic carry-overs (with reference citations):
+
+- **Vacuous pass on type mismatch**: every keyword first type-tests the
+  instance and passes when not applicable (e.g. `keywords/Maximum.java:53-55`,
+  `keywords/Required.java:53-55`).  Statically decidable here: a
+  ``maxLength`` on a numeric column compiles to ``lit(True)`` and emits
+  no violation leaf at all.
+- **Null = absent member** (engine convention): parquet/Spark cannot
+  distinguish a missing object member from ``null``; ``required`` =
+  ``isNotNull``, applicator subschemas apply only to non-null members.
+- **Exact numeric semantics**: Snow compares via BigDecimal
+  (`Numbers.java:47-59`); ``integer`` means mathematically integral so
+  ``1.0`` is an integer (`Numbers.java:67-69`).  Here: integral test is
+  ``col % 1 == 0``; ``multipleOf`` on fractional types goes through
+  ``DecimalType(38, 12)`` remainder (documented deviation: exactness
+  beyond 12 decimal places).
+- **ECMA-262 regex with find() semantics** (`keywords/Pattern.java:66`)
+  via :mod:`..functions.ecma_regex` + ``rlike``.
+- **Leaf-only violation emission**: instead of Snow's record-then-prune
+  error tree (`ValidatorContext.java:1276-1307`), each *asserting* leaf
+  keyword contributes one guarded violation record; branches that pass
+  suppress their children's leaves at compile time (guards), so the
+  output matches Snow's pruned "basic" output shape
+  (`Main.java:165-190`).
+"""
+
+from __future__ import annotations
+
+import decimal
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    ByteType,
+    DataType,
+    DateType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    MapType,
+    ShortType,
+    StringType,
+    StructType,
+    TimestampType,
+)
+
+from ..functions.ecma_regex import compile_python, translate
+from ..functions.formats import format_check
+
+_INTEGRAL = (ByteType, ShortType, IntegerType, LongType)
+_FRACTIONAL = (FloatType, DoubleType, DecimalType)
+_NUMERIC = _INTEGRAL + _FRACTIONAL
+
+
+class SpecError(ValueError):
+    """Compile-time spec diagnostic (Snow: MalformedSchemaException)."""
+
+
+@dataclass
+class Leaf:
+    """One asserting constraint applied at one instance location."""
+
+    constraint_id: str  # schema-side JSON pointer, fixed at compile time
+    instance_path: str  # instance-side column path
+    failed: Column  # null-safe boolean: True iff this check failed
+    observed: Column  # stringified observed value
+
+
+@dataclass
+class Compiled:
+    valid: Column  # null-safe boolean
+    leaves: list[Leaf] = field(default_factory=list)
+
+
+@dataclass
+class Options:
+    spec_version: str = "2019-09"  # or "draft-07", "draft-06"
+    assert_format: bool = True  # Format.java:248-259 gating
+    assert_content: bool = True  # ContentEncoding Draft-07 + CONTENT option
+
+
+class Instance:
+    """A compile-time handle on 'the value being validated'.
+
+    Either the whole row (``is_row``) or a Column of known Spark type.
+    """
+
+    def __init__(
+        self,
+        col: Column | None,
+        dtype: DataType | None,
+        path: str,
+        row_schema: StructType | None = None,
+    ):
+        self.col = col
+        self.dtype = dtype
+        self.path = path
+        self.row_schema = row_schema
+
+    @property
+    def is_row(self) -> bool:
+        return self.row_schema is not None and self.col is None
+
+    # ---- object-member access ------------------------------------------
+    def member_names(self) -> list[str] | None:
+        """Statically-known member names, or None for open (map) objects."""
+        if self.is_row:
+            return [f.name for f in self.row_schema.fields]
+        if isinstance(self.dtype, StructType):
+            return [f.name for f in self.dtype.fields]
+        return None
+
+    def member(self, name: str) -> "Instance | None":
+        if self.is_row:
+            for f in self.row_schema.fields:
+                if f.name == name:
+                    return Instance(F.col(name), f.dataType, f"{self.path}/{name}")
+            return None
+        if isinstance(self.dtype, StructType):
+            for f in self.dtype.fields:
+                if f.name == name:
+                    return Instance(
+                        self.col.getField(name), f.dataType, f"{self.path}/{name}"
+                    )
+            return None
+        if isinstance(self.dtype, MapType):
+            return Instance(
+                F.element_at(self.col, F.lit(name)),
+                self.dtype.valueType,
+                f"{self.path}/{name}",
+            )
+        return None
+
+    def presence(self, name: str) -> Column:
+        """Is member `name` present (non-null under the engine convention)?"""
+        m = self.member(name)
+        if m is None:
+            return F.lit(False)
+        if isinstance(self.dtype, MapType):
+            return F.coalesce(F.map_contains_key(self.col, F.lit(name)), F.lit(False))
+        return m.col.isNotNull()
+
+    # ---- typing ---------------------------------------------------------
+    def is_object(self) -> bool:
+        return self.is_row or isinstance(self.dtype, (StructType, MapType))
+
+    def not_null(self) -> Column:
+        if self.is_row:
+            return F.lit(True)
+        return self.col.isNotNull()
+
+
+def _stringify(inst: Instance) -> Column:
+    """Observed-value column for violation rows."""
+    if inst.is_row:
+        return F.lit("<row>")
+    dt = inst.dtype
+    if isinstance(dt, (ArrayType, StructType, MapType)):
+        return F.to_json(inst.col)
+    if isinstance(dt, BinaryType):
+        return F.base64(inst.col)
+    return inst.col.cast("string")
+
+
+def _decimal_lit(value: Any) -> Column:
+    return F.lit(decimal.Decimal(str(value)))
+
+
+class Compiler:
+    """Compile one constraint spec against one table schema."""
+
+    #: keywords that never assert (annotations / structural) —
+    #: SURVEY.md §2.6/§2.7
+    _NON_ASSERTING = {
+        "$schema",
+        "$id",
+        "$anchor",
+        "$vocabulary",
+        "$comment",
+        "$defs",
+        "definitions",
+        "title",
+        "description",
+        "default",
+        "examples",
+        "deprecated",
+        "readOnly",
+        "writeOnly",
+        "contentSchema",
+        "x-table-checks",
+    }
+
+    def __init__(self, spec: dict | bool, options: Options | None = None):
+        self.spec = spec
+        self.options = options or Options()
+        self.anchors: dict[str, Any] = {}
+        if isinstance(spec, dict):
+            self._scan_anchors(spec)
+
+    # ------------------------------------------------------------------
+    def _scan_anchors(self, node: Any) -> None:
+        """Pre-scan for $anchor / $id plain names (Validator.scanIDs,
+        `Validator.java:785-859` — compile-time symbol table here)."""
+        if isinstance(node, dict):
+            a = node.get("$anchor")
+            if isinstance(a, str):
+                self.anchors[a] = node
+            i = node.get("$id")
+            if isinstance(i, str) and i.startswith("#") and len(i) > 1:
+                self.anchors[i[1:]] = node
+            for v in node.values():
+                self._scan_anchors(v)
+        elif isinstance(node, list):
+            for v in node:
+                self._scan_anchors(v)
+
+    def _resolve_ref(self, ref: str) -> Any:
+        """Resolve an in-document $ref (pointer or anchor).
+
+        Cross-document refs are a compile error this round (Snow fetches
+        over the network only under AUTO_RESOLVE, `Validator.java:214-321`).
+        """
+        if ref == "#":
+            return self.spec
+        if ref.startswith("#/"):
+            node: Any = self.spec
+            for raw in ref[2:].split("/"):
+                tok = raw.replace("~1", "/").replace("~0", "~")
+                if isinstance(node, list):
+                    try:
+                        node = node[int(tok)]
+                    except (ValueError, IndexError):
+                        raise SpecError(f"unresolvable $ref: {ref}")
+                elif isinstance(node, dict) and tok in node:
+                    node = node[tok]
+                else:
+                    raise SpecError(f"unresolvable $ref: {ref}")
+            return node
+        if ref.startswith("#"):
+            name = ref[1:]
+            if name in self.anchors:
+                return self.anchors[name]
+            raise SpecError(f"unknown $anchor: {ref}")
+        raise SpecError(f"external $ref not supported at compile time: {ref}")
+
+    # ------------------------------------------------------------------
+    def compile_row(self, schema: StructType) -> Compiled:
+        inst = Instance(None, None, "", row_schema=schema)
+        return self._compile(self.spec, inst, "#", collect=True, ref_stack=())
+
+    def compile_column(self, name: str, dtype: DataType, spec: Any) -> Compiled:
+        inst = Instance(F.col(name), dtype, f"/{name}")
+        return self._compile(spec, inst, f"#/{name}", collect=True, ref_stack=())
+
+    # ------------------------------------------------------------------
+    def _compile(
+        self,
+        node: Any,
+        inst: Instance,
+        path: str,
+        collect: bool,
+        ref_stack: tuple,
+    ) -> Compiled:
+        # boolean schemas (ValidatorContext.java:1200-1202)
+        if node is True:
+            return Compiled(F.lit(True))
+        if node is False:
+            c = Compiled(F.lit(False))
+            if collect:
+                c.leaves.append(
+                    Leaf(path, inst.path, F.lit(True), _stringify(inst))
+                )
+            return c
+        if not isinstance(node, dict):
+            raise SpecError(f"schema at {path} must be object or boolean")
+        if not node:
+            return Compiled(F.lit(True))
+
+        # $ref handling: pre-2019-09 siblings are ignored
+        # (ValidatorContext.java:1259-1264)
+        if "$ref" in node:
+            ref = node["$ref"]
+            if ref in ref_stack:
+                raise SpecError(f"$ref cycle detected: {ref}")
+            target = self._resolve_ref(ref)
+            sub = self._compile(
+                target, inst, path + "/$ref", collect, ref_stack + (ref,)
+            )
+            if self.options.spec_version != "2019-09" or len(node) == 1:
+                return sub
+            rest = {k: v for k, v in node.items() if k != "$ref"}
+            sibling = self._compile(rest, inst, path, collect, ref_stack)
+            return Compiled(
+                sub.valid & sibling.valid, sub.leaves + sibling.leaves
+            )
+
+        conds: list[Column] = []
+        leaves: list[Leaf] = []
+
+        def add(kw: str, valid: Column, observed: Column | None = None) -> None:
+            conds.append(valid)
+            if collect:
+                leaves.append(
+                    Leaf(
+                        f"{path}/{kw}",
+                        inst.path,
+                        ~valid,
+                        observed if observed is not None else _stringify(inst),
+                    )
+                )
+
+        def subcompile(
+            sub: Any, sub_inst: Instance, sub_path: str, sub_collect: bool
+        ) -> Compiled:
+            return self._compile(sub, sub_inst, sub_path, sub_collect, ref_stack)
+
+        for kw, value in node.items():
+            if kw in self._NON_ASSERTING or kw == "$ref":
+                continue
+            handler = getattr(self, f"_kw_{kw.replace('$', 'dollar_')}", None)
+            if handler is None:
+                continue  # unknown keywords ignored (annotation-collected in Snow)
+            handler(node, value, inst, path, add, subcompile, collect, leaves, conds)
+
+        valid = F.lit(True)
+        for c in conds:
+            valid = valid & c
+        return Compiled(valid, leaves)
+
+    # ==================================================================
+    # §2.1 scalar assertions
+    # ==================================================================
+    def _type_cond(self, t: str, inst: Instance) -> Column | None:
+        """Validity condition for one type name, or None = statically false."""
+        if inst.is_row:
+            return F.lit(True) if t == "object" else None
+        dt, col = inst.dtype, inst.col
+        if t == "null":
+            return col.isNull()
+        if t == "string":
+            return col.isNotNull() if isinstance(dt, StringType) else None
+        if t == "boolean":
+            return col.isNotNull() if isinstance(dt, BooleanType) else None
+        if t == "number":
+            return col.isNotNull() if isinstance(dt, _NUMERIC) else None
+        if t == "integer":
+            if isinstance(dt, _INTEGRAL):
+                return col.isNotNull()
+            if isinstance(dt, _FRACTIONAL):
+                # mathematically integral (Numbers.java:67-69): 1.0 is an integer
+                return col.isNotNull() & ((col % F.lit(1.0)) == 0)
+            return None
+        if t == "object":
+            return col.isNotNull() if isinstance(dt, (StructType, MapType)) else None
+        if t == "array":
+            return col.isNotNull() if isinstance(dt, ArrayType) else None
+        # engine extensions beyond JSON's 7 types (tabular reality)
+        if t == "timestamp":
+            return col.isNotNull() if isinstance(dt, TimestampType) else None
+        if t == "date":
+            return col.isNotNull() if isinstance(dt, DateType) else None
+        if t == "binary":
+            return col.isNotNull() if isinstance(dt, BinaryType) else None
+        raise SpecError(f"unknown type name: {t}")
+
+    def _kw_type(self, node, value, inst, path, add, sub, collect, leaves, conds):
+        types = value if isinstance(value, list) else [value]
+        if not all(isinstance(t, str) for t in types):
+            raise SpecError(f"{path}/type: values must be strings")
+        parts = [c for t in types if (c := self._type_cond(t, inst)) is not None]
+        if not parts:
+            add("type", F.lit(False))
+            return
+        cond = parts[0]
+        for p in parts[1:]:
+            cond = cond | p
+        add("type", F.coalesce(cond, F.lit(False)))
+
+    # ---- deep-equality literal builder (Const.java:44, Gson equals) ----
+    def _literal_eq(self, inst: Instance, value: Any) -> Column:
+        dt, col = inst.dtype, inst.col
+        if inst.is_row:
+            return F.lit(False)
+        if value is None:
+            return col.isNull()
+        if isinstance(value, bool):
+            if isinstance(dt, BooleanType):
+                return F.coalesce(col == F.lit(value), F.lit(False))
+            return F.lit(False)
+        if isinstance(value, (int, float, decimal.Decimal)):
+            if isinstance(dt, _NUMERIC):
+                # 1 == 1.0 under JSON numeric equality; Spark's numeric
+                # coercion gives the same answer
+                return F.coalesce(col == _decimal_lit(value), F.lit(False))
+            return F.lit(False)
+        if isinstance(value, str):
+            if isinstance(dt, StringType):
+                return F.coalesce(col == F.lit(value), F.lit(False))
+            if isinstance(dt, TimestampType):
+                return F.coalesce(col == F.to_timestamp(F.lit(value)), F.lit(False))
+            if isinstance(dt, DateType):
+                return F.coalesce(col == F.to_date(F.lit(value)), F.lit(False))
+            return F.lit(False)
+        if isinstance(value, list):
+            if not isinstance(dt, ArrayType):
+                return F.lit(False)
+            size_ok = F.size(col) == len(value)
+            parts = [size_ok]
+            for i, v in enumerate(value):
+                elem = Instance(col.getItem(i), dt.elementType, inst.path)
+                parts.append(self._literal_eq(elem, v))
+            out = parts[0]
+            for p in parts[1:]:
+                out = out & p
+            return F.coalesce(out, F.lit(False))
+        if isinstance(value, dict):
+            if isinstance(dt, StructType):
+                names = {f.name for f in dt.fields}
+                if set(value) - names:
+                    return F.lit(False)  # literal has fields the type lacks
+                parts: list[Column] = [col.isNotNull()]
+                for f in dt.fields:
+                    m = Instance(col.getField(f.name), f.dataType, inst.path)
+                    if f.name in value:
+                        parts.append(self._literal_eq(m, value[f.name]))
+                    else:
+                        parts.append(m.col.isNull())
+                out = parts[0]
+                for p in parts[1:]:
+                    out = out & p
+                return F.coalesce(out, F.lit(False))
+            if isinstance(dt, MapType):
+                parts = [F.size(F.map_keys(col)) == len(value)]
+                for k, v in value.items():
+                    m = Instance(
+                        F.element_at(col, F.lit(k)), dt.valueType, inst.path
+                    )
+                    parts.append(
+                        F.map_contains_key(col, F.lit(k)) & self._literal_eq(m, v)
+                    )
+                out = parts[0]
+                for p in parts[1:]:
+                    out = out & p
+                return F.coalesce(out, F.lit(False))
+            return F.lit(False)
+        raise SpecError(f"unsupported literal in spec: {value!r}")
+
+    def _kw_const(self, node, value, inst, path, add, sub, collect, leaves, conds):
+        if inst.is_row:
+            return
+        add("const", F.when(inst.not_null(), self._literal_eq(inst, value)).otherwise(value is None))
+
+    def _kw_enum(self, node, value, inst, path, add, sub, collect, leaves, conds):
+        if not isinstance(value, list) or not value:
+            raise SpecError(f"{path}/enum must be a non-empty array")
+        if inst.is_row:
+            return
+        cond = self._literal_eq(inst, value[0])
+        for v in value[1:]:
+            cond = cond | self._literal_eq(inst, v)
+        allows_null = any(v is None for v in value)
+        add("enum", F.when(inst.not_null(), cond).otherwise(allows_null))
+
+    # ---- numeric bounds (vacuous on non-numbers, Maximum.java:53-55) ---
+    def _bound(self, inst: Instance, value, op: str) -> Column | None:
+        dt, col = inst.dtype, inst.col
+        if isinstance(dt, _NUMERIC):
+            lim: Column = _decimal_lit(value) if not isinstance(value, bool) else F.lit(value)
+        elif isinstance(dt, TimestampType) and isinstance(value, str):
+            lim = F.to_timestamp(F.lit(value))
+        elif isinstance(dt, DateType) and isinstance(value, str):
+            lim = F.to_date(F.lit(value))
+        else:
+            return None  # vacuous
+        cmp = {"le": col <= lim, "ge": col >= lim, "lt": col < lim, "gt": col > lim}[op]
+        return F.when(col.isNotNull(), cmp).otherwise(F.lit(True))
+
+    def _kw_maximum(self, node, value, inst, path, add, *rest):
+        if inst.is_row:
+            return
+        c = self._bound(inst, value, "le")
+        if c is not None:
+            add("maximum", c)
+
+    def _kw_minimum(self, node, value, inst, path, add, *rest):
+        if inst.is_row:
+            return
+        c = self._bound(inst, value, "ge")
+        if c is not None:
+            add("minimum", c)
+
+    def _kw_exclusiveMaximum(self, node, value, inst, path, add, *rest):
+        if inst.is_row:
+            return
+        c = self._bound(inst, value, "lt")
+        if c is not None:
+            add("exclusiveMaximum", c)
+
+    def _kw_exclusiveMinimum(self, node, value, inst, path, add, *rest):
+        if inst.is_row:
+            return
+        c = self._bound(inst, value, "gt")
+        if c is not None:
+            add("exclusiveMinimum", c)
+
+    def _kw_multipleOf(self, node, value, inst, path, add, *rest):
+        if isinstance(value, bool) or not isinstance(value, (int, float, decimal.Decimal)):
+            raise SpecError(f"{path}/multipleOf must be a number")
+        if value <= 0:
+            # MultipleOf.java:53-56 guard
+            raise SpecError(f"{path}/multipleOf must be > 0")
+        if inst.is_row or not isinstance(inst.dtype, _NUMERIC):
+            return
+        col = inst.col
+        if isinstance(inst.dtype, _INTEGRAL) and float(value).is_integer():
+            cond = (col % F.lit(int(value))) == 0
+        else:
+            # BigDecimal-exact remainder (Numbers.java:47-59) approximated
+            # with DecimalType(38,12) — exact to 12 dp
+            dec = DecimalType(38, 12)
+            cond = (col.cast(dec) % _decimal_lit(value).cast(dec)) == 0
+        add("multipleOf", F.when(col.isNotNull(), cond).otherwise(F.lit(True)))
+
+    # ---- string assertions ---------------------------------------------
+    def _string_kw(self, inst: Instance) -> bool:
+        return not inst.is_row and isinstance(inst.dtype, StringType)
+
+    def _kw_maxLength(self, node, value, inst, path, add, *rest):
+        if not self._string_kw(inst):
+            return
+        col = inst.col
+        # F.length counts code points on strings (MaxLength.java:66-67 parity)
+        add(
+            "maxLength",
+            F.when(col.isNotNull(), F.length(col) <= int(value)).otherwise(True),
+            F.length(col).cast("string"),
+        )
+
+    def _kw_minLength(self, node, value, inst, path, add, *rest):
+        if not self._string_kw(inst):
+            return
+        col = inst.col
+        add(
+            "minLength",
+            F.when(col.isNotNull(), F.length(col) >= int(value)).otherwise(True),
+            F.length(col).cast("string"),
+        )
+
+    def _kw_pattern(self, node, value, inst, path, add, *rest):
+        if not isinstance(value, str):
+            raise SpecError(f"{path}/pattern must be a string")
+        if not self._string_kw(inst):
+            return
+        col = inst.col
+        # find() semantics, not full match (Pattern.java:66) — rlike matches
+        add(
+            "pattern",
+            F.when(col.isNotNull(), col.rlike(translate(value))).otherwise(True),
+        )
+
+    def _kw_format(self, node, value, inst, path, add, *rest):
+        if not isinstance(value, str):
+            raise SpecError(f"{path}/format must be a string")
+        if not self.options.assert_format or not self._string_kw(inst):
+            return
+        chk = format_check(value, inst.col)
+        if chk is None:
+            return  # unknown format: annotation only (Format.java:260-264)
+        add("format", F.when(inst.col.isNotNull(), chk).otherwise(True))
+
+    def _kw_contentEncoding(self, node, value, inst, path, add, *rest):
+        if not self.options.assert_content or not self._string_kw(inst):
+            return
+        if value != "base64":
+            return  # only base64 is checked (Strings.java:245-289)
+        col = inst.col
+        # charset incl. base64url, loose padding (Strings.java:266-270)
+        cond = col.rlike(r"\A[A-Za-z0-9+/_-]*={0,4}\z") & (F.length(col) % 4 == 0)
+        add("contentEncoding", F.when(col.isNotNull(), cond).otherwise(True))
+
+    def _kw_contentMediaType(self, node, value, inst, path, add, *rest):
+        if not self.options.assert_content or not self._string_kw(inst):
+            return
+        if not isinstance(value, str):
+            raise SpecError(f"{path}/contentMediaType must be a string")
+        col = inst.col
+        if node.get("contentEncoding") == "base64":
+            decoded = F.unbase64(col).cast("string")
+        else:
+            decoded = col
+        if value.lower() == "application/json":
+            # parse check (ContentMediaType.java:96-115); try_parse_json
+            # returns null on malformed input (Spark 4 variant)
+            cond = F.try_parse_json(decoded).isNotNull()
+        else:
+            return  # other media types: syntax validated at compile time
+        add("contentMediaType", F.when(col.isNotNull(), cond).otherwise(True))
+
+    # ==================================================================
+    # §2.3 object applicators
+    # ==================================================================
+    def _kw_required(self, node, value, inst, path, add, *rest):
+        if not isinstance(value, list):
+            raise SpecError(f"{path}/required must be an array")
+        if not inst.is_object():
+            return  # Required.java:53-55 vacuous
+        parts = [inst.presence(n) for n in value]
+        missing = F.concat_ws(
+            ",",
+            *[
+                F.when(~inst.presence(n), F.lit(n)).otherwise(F.lit(None))
+                for n in value
+            ],
+        )
+        cond = F.lit(True)
+        for p in parts:
+            cond = cond & p
+        if not inst.is_row:
+            cond = F.when(inst.not_null(), cond).otherwise(True)
+        add("required", cond, missing)
+
+    def _kw_properties(self, node, value, inst, path, add, sub, collect, leaves, conds):
+        if not isinstance(value, dict):
+            raise SpecError(f"{path}/properties must be an object")
+        if not inst.is_object():
+            return
+        for name, subspec in value.items():
+            m = inst.member(name)
+            if m is None:
+                continue  # member can never be present → subschema never applies
+            pres = inst.presence(name)
+            c = sub(subspec, m, f"{path}/properties/{name}", collect)
+            conds.append(F.when(pres, c.valid).otherwise(True))
+            for lf in c.leaves:
+                leaves.append(
+                    Leaf(lf.constraint_id, lf.instance_path, lf.failed & pres, lf.observed)
+                )
+
+    def _static_pattern_matches(self, inst: Instance, pattern: str) -> list[str]:
+        rx = compile_python(pattern)
+        return [n for n in (inst.member_names() or []) if rx.search(n)]
+
+    def _kw_patternProperties(self, node, value, inst, path, add, sub, collect, leaves, conds):
+        if not isinstance(value, dict):
+            raise SpecError(f"{path}/patternProperties must be an object")
+        if not inst.is_object():
+            return
+        names = inst.member_names()
+        for pattern, subspec in value.items():
+            kpath = f"{path}/patternProperties/{pattern}"
+            if names is not None:
+                for name in self._static_pattern_matches(inst, pattern):
+                    m = inst.member(name)
+                    pres = inst.presence(name)
+                    c = sub(subspec, m, kpath, collect)
+                    conds.append(F.when(pres, c.valid).otherwise(True))
+                    for lf in c.leaves:
+                        leaves.append(
+                            Leaf(lf.constraint_id, f"{inst.path}/{name}", lf.failed & pres, lf.observed)
+                        )
+            else:  # open (map) object: runtime key match
+                jre = translate(pattern)
+                elem_dt = inst.dtype.valueType
+                matched = F.map_filter(inst.col, lambda k, v: k.rlike(jre))
+                check = F.forall(
+                    F.map_values(matched),
+                    lambda v: sub(
+                        subspec,
+                        Instance(v, elem_dt, inst.path + "/*"),
+                        kpath,
+                        False,
+                    ).valid,
+                )
+                valid = F.when(inst.not_null(), F.coalesce(check, F.lit(True))).otherwise(True)
+                add(f"patternProperties/{pattern}", valid)
+
+    def _declared_and_pattern_names(self, node: dict, inst: Instance) -> tuple[set[str], list[str]]:
+        declared = set((node.get("properties") or {}).keys())
+        patterns = list((node.get("patternProperties") or {}).keys())
+        return declared, patterns
+
+    def _kw_additionalProperties(self, node, value, inst, path, add, sub, collect, leaves, conds):
+        if not inst.is_object():
+            return
+        declared, patterns = self._declared_and_pattern_names(node, inst)
+        names = inst.member_names()
+        kpath = f"{path}/additionalProperties"
+        if names is not None:
+            # compile-time set difference (AdditionalProperties.java:58-67
+            # reads runtime annotations; statically decidable here)
+            pat_matched: set[str] = set()
+            for p in patterns:
+                pat_matched.update(self._static_pattern_matches(inst, p))
+            extra = [n for n in names if n not in declared and n not in pat_matched]
+            for name in extra:
+                m = inst.member(name)
+                pres = inst.presence(name)
+                c = sub(value, m, kpath, collect)
+                conds.append(F.when(pres, c.valid).otherwise(True))
+                for lf in c.leaves:
+                    leaves.append(
+                        Leaf(lf.constraint_id, lf.instance_path, lf.failed & pres, lf.observed)
+                    )
+        else:
+            elem_dt = inst.dtype.valueType
+            jres = [translate(p) for p in patterns]
+
+            def is_extra(k: Column) -> Column:
+                cond = F.lit(True)
+                if declared:
+                    cond = cond & ~k.isin(*sorted(declared))
+                for jre in jres:
+                    cond = cond & ~k.rlike(jre)
+                return cond
+
+            extra_map = F.map_filter(inst.col, lambda k, v: is_extra(k))
+            check = F.forall(
+                F.map_values(extra_map),
+                lambda v: sub(value, Instance(v, elem_dt, inst.path + "/*"), kpath, False).valid,
+            )
+            add(
+                "additionalProperties",
+                F.when(inst.not_null(), F.coalesce(check, F.lit(True))).otherwise(True),
+            )
+
+    def _kw_propertyNames(self, node, value, inst, path, add, sub, collect, leaves, conds):
+        if not inst.is_object():
+            return
+        kpath = f"{path}/propertyNames"
+        names = inst.member_names()
+        if names is not None:
+            # names are compile-time literals (PropertyNames.java:57); only
+            # asserted for present members
+            for name in names:
+                name_inst = Instance(F.lit(name), StringType(), f"{inst.path}/{name}")
+                c = sub(value, name_inst, kpath, False)
+                pres = inst.presence(name)
+                add(f"propertyNames[{name}]", F.when(pres, c.valid).otherwise(True), F.lit(name))
+        else:
+            check = F.forall(
+                F.map_keys(inst.col),
+                lambda k: sub(value, Instance(k, StringType(), inst.path + "/*"), kpath, False).valid,
+            )
+            add(
+                "propertyNames",
+                F.when(inst.not_null(), F.coalesce(check, F.lit(True))).otherwise(True),
+            )
+
+    def _prop_count(self, inst: Instance) -> Column:
+        names = inst.member_names()
+        if names is not None:
+            cnt = F.lit(0)
+            for n in names:
+                cnt = cnt + inst.presence(n).cast("int")
+            return cnt
+        return F.size(F.map_keys(inst.col))
+
+    def _kw_maxProperties(self, node, value, inst, path, add, *rest):
+        if not inst.is_object():
+            return
+        cnt = self._prop_count(inst)
+        cond = cnt <= int(value)
+        if not inst.is_row:
+            cond = F.when(inst.not_null(), cond).otherwise(True)
+        add("maxProperties", cond, cnt.cast("string"))
+
+    def _kw_minProperties(self, node, value, inst, path, add, *rest):
+        if not inst.is_object():
+            return
+        cnt = self._prop_count(inst)
+        cond = cnt >= int(value)
+        if not inst.is_row:
+            cond = F.when(inst.not_null(), cond).otherwise(True)
+        add("minProperties", cond, cnt.cast("string"))
+
+    def _kw_dependentRequired(self, node, value, inst, path, add, *rest):
+        if not isinstance(value, dict):
+            raise SpecError(f"{path}/dependentRequired must be an object")
+        if not inst.is_object():
+            return
+        for key, names in value.items():
+            needed = F.lit(True)
+            for n in names:
+                needed = needed & inst.presence(n)
+            cond = F.when(inst.presence(key), needed).otherwise(True)
+            add(f"dependentRequired/{key}", cond)
+
+    def _kw_dependentSchemas(self, node, value, inst, path, add, sub, collect, leaves, conds):
+        if not isinstance(value, dict):
+            raise SpecError(f"{path}/dependentSchemas must be an object")
+        if not inst.is_object():
+            return
+        for key, subspec in value.items():
+            pres = inst.presence(key)
+            c = sub(subspec, inst, f"{path}/dependentSchemas/{key}", collect)
+            conds.append(F.when(pres, c.valid).otherwise(True))
+            for lf in c.leaves:
+                leaves.append(
+                    Leaf(lf.constraint_id, lf.instance_path, lf.failed & pres, lf.observed)
+                )
+
+    def _kw_dependencies(self, node, value, inst, path, add, sub, collect, leaves, conds):
+        # ≤ Draft-07 split form (Dependencies.java:73-120)
+        if not isinstance(value, dict):
+            raise SpecError(f"{path}/dependencies must be an object")
+        req = {k: v for k, v in value.items() if isinstance(v, list)}
+        sch = {k: v for k, v in value.items() if not isinstance(v, list)}
+        if req:
+            self._kw_dependentRequired(node, req, inst, path, add)
+        if sch:
+            self._kw_dependentSchemas(node, sch, inst, path, add, sub, collect, leaves, conds)
+
+    # ==================================================================
+    # §2.4 array applicators
+    # ==================================================================
+    def _is_array(self, inst: Instance) -> bool:
+        return not inst.is_row and isinstance(inst.dtype, ArrayType)
+
+    def _elem(self, inst: Instance, x: Column) -> Instance:
+        return Instance(x, inst.dtype.elementType, inst.path + "/*")
+
+    def _kw_items(self, node, value, inst, path, add, sub, collect, leaves, conds):
+        if not self._is_array(inst):
+            return
+        col = inst.col
+        if isinstance(value, list):
+            # array form: i-th subschema to i-th element (Items.java:64-87)
+            for i, s in enumerate(value):
+                c = sub(s, self._elem(inst, col.getItem(i)), f"{path}/items/{i}", False)
+                add(
+                    f"items/{i}",
+                    F.when(
+                        col.isNotNull() & (F.size(col) > i), c.valid
+                    ).otherwise(True),
+                )
+        else:
+            check = F.forall(col, lambda x: sub(value, self._elem(inst, x), f"{path}/items", False).valid)
+            add("items", F.when(col.isNotNull(), F.coalesce(check, F.lit(True))).otherwise(True))
+
+    def _kw_additionalItems(self, node, value, inst, path, add, sub, collect, leaves, conds):
+        if not self._is_array(inst):
+            return
+        items = node.get("items")
+        if not isinstance(items, list):
+            return  # only applies after array-form items (AdditionalItems.java:63)
+        k = len(items)
+        col = inst.col
+        tail = F.slice(col, k + 1, F.size(col) - k)
+        check = F.forall(
+            tail, lambda x: sub(value, self._elem(inst, x), f"{path}/additionalItems", False).valid
+        )
+        add(
+            "additionalItems",
+            F.when(
+                col.isNotNull() & (F.size(col) > k), F.coalesce(check, F.lit(True))
+            ).otherwise(True),
+        )
+
+    def _contains_count(self, node, inst: Instance, path, sub) -> Column:
+        spec = node["contains"]
+        return F.size(
+            F.filter(
+                inst.col,
+                lambda x: sub(spec, self._elem(inst, x), f"{path}/contains", False).valid,
+            )
+        )
+
+    def _kw_contains(self, node, value, inst, path, add, sub, collect, leaves, conds):
+        if not self._is_array(inst):
+            return
+        cnt = self._contains_count(node, inst, path, sub)
+        min_c = node.get("minContains", 1)
+        # minContains: 0 makes empty/no-match pass (Contains.java:66-75)
+        cond = F.lit(True) if min_c == 0 else (cnt >= 1)
+        add(
+            "contains",
+            F.when(inst.col.isNotNull(), cond).otherwise(True),
+            cnt.cast("string"),
+        )
+
+    def _kw_maxContains(self, node, value, inst, path, add, sub, collect, leaves, conds):
+        if not self._is_array(inst) or "contains" not in node:
+            return  # reads the contains annotation (MaxContains.java:71-80)
+        cnt = self._contains_count(node, inst, path, sub)
+        add(
+            "maxContains",
+            F.when(inst.col.isNotNull(), cnt <= int(value)).otherwise(True),
+            cnt.cast("string"),
+        )
+
+    def _kw_minContains(self, node, value, inst, path, add, sub, collect, leaves, conds):
+        if not self._is_array(inst) or "contains" not in node:
+            return
+        cnt = self._contains_count(node, inst, path, sub)
+        add(
+            "minContains",
+            F.when(inst.col.isNotNull(), cnt >= int(value)).otherwise(True),
+            cnt.cast("string"),
+        )
+
+    def _kw_maxItems(self, node, value, inst, path, add, *rest):
+        if not self._is_array(inst):
+            return
+        col = inst.col
+        add(
+            "maxItems",
+            F.when(col.isNotNull(), F.size(col) <= int(value)).otherwise(True),
+            F.size(col).cast("string"),
+        )
+
+    def _kw_minItems(self, node, value, inst, path, add, *rest):
+        if not self._is_array(inst):
+            return
+        col = inst.col
+        add(
+            "minItems",
+            F.when(col.isNotNull(), F.size(col) >= int(value)).otherwise(True),
+            F.size(col).cast("string"),
+        )
+
+    def _kw_uniqueItems(self, node, value, inst, path, add, *rest):
+        if not self._is_array(inst) or value is not True:
+            return
+        col = inst.col
+        # deep equality dedup (UniqueItems.java:65-68): array_distinct uses
+        # the same structural equality on nested types
+        add(
+            "uniqueItems",
+            F.when(
+                col.isNotNull(), F.size(col) == F.size(F.array_distinct(col))
+            ).otherwise(True),
+        )
+
+    # ==================================================================
+    # §2.5 combinators
+    # ==================================================================
+    def _kw_allOf(self, node, value, inst, path, add, sub, collect, leaves, conds):
+        if not isinstance(value, list) or not value:
+            raise SpecError(f"{path}/allOf must be a non-empty array")
+        for i, s in enumerate(value):
+            c = sub(s, inst, f"{path}/allOf/{i}", collect)
+            conds.append(c.valid)
+            leaves.extend(c.leaves)
+
+    def _kw_anyOf(self, node, value, inst, path, add, sub, collect, leaves, conds):
+        if not isinstance(value, list) or not value:
+            raise SpecError(f"{path}/anyOf must be a non-empty array")
+        subs = [sub(s, inst, f"{path}/anyOf/{i}", False) for i, s in enumerate(value)]
+        cond = subs[0].valid
+        for c in subs[1:]:
+            cond = cond | c.valid
+        add("anyOf", cond)
+
+    def _kw_oneOf(self, node, value, inst, path, add, sub, collect, leaves, conds):
+        if not isinstance(value, list) or not value:
+            raise SpecError(f"{path}/oneOf must be a non-empty array")
+        subs = [sub(s, inst, f"{path}/oneOf/{i}", False) for i, s in enumerate(value)]
+        total = subs[0].valid.cast("int")
+        for c in subs[1:]:
+            total = total + c.valid.cast("int")
+        # exactly one (OneOf.java:74)
+        add("oneOf", total == 1, total.cast("string"))
+
+    def _kw_not(self, node, value, inst, path, add, sub, collect, leaves, conds):
+        c = sub(value, inst, f"{path}/not", False)
+        add("not", ~c.valid)
+
+    def _kw_if(self, node, value, inst, path, add, sub, collect, leaves, conds):
+        if_c = sub(value, inst, f"{path}/if", False)
+        then_spec = node.get("then")
+        else_spec = node.get("else")
+        then_c = (
+            sub(then_spec, inst, f"{path}/then", collect)
+            if then_spec is not None
+            else Compiled(F.lit(True))
+        )
+        else_c = (
+            sub(else_spec, inst, f"{path}/else", collect)
+            if else_spec is not None
+            else Compiled(F.lit(True))
+        )
+        # absent branch passes (If.java:67-78)
+        conds.append(F.when(if_c.valid, then_c.valid).otherwise(else_c.valid))
+        for lf in then_c.leaves:
+            leaves.append(Leaf(lf.constraint_id, lf.instance_path, lf.failed & if_c.valid, lf.observed))
+        for lf in else_c.leaves:
+            leaves.append(Leaf(lf.constraint_id, lf.instance_path, lf.failed & ~if_c.valid, lf.observed))
+
+    # then/else are handled inside _kw_if (inner Applier keywords, If.java:40-53)
+
+    # ==================================================================
+    # §2.8 unevaluated* — static branch analysis
+    # ==================================================================
+    def _static_evaluated_names(self, node: dict, inst: Instance, ref_stack: tuple = ()) -> set[str] | None:
+        """Names evaluated by in-scope applicators, statically.
+
+        Returns None when the evaluated set depends on runtime branches
+        (anyOf/oneOf/if with property applicators) — unsupported this
+        round; the compiler raises so correctness is never silently
+        wrong.  For static specs this matches the reference's runtime
+        annotation union (`UnevaluatedProperties.java:69-92`)."""
+        out: set[str] = set()
+        if "properties" in node:
+            out.update(node["properties"].keys())
+        for p in node.get("patternProperties", {}):
+            out.update(self._static_pattern_matches(inst, p))
+        if "additionalProperties" in node:
+            out.update(inst.member_names() or [])
+        for branch_kw in ("anyOf", "oneOf", "if", "then", "else"):
+            v = node.get(branch_kw)
+            specs = v if isinstance(v, list) else ([v] if isinstance(v, dict) else [])
+            for s in specs:
+                if any(
+                    k in s
+                    for k in ("properties", "patternProperties", "additionalProperties", "$ref", "allOf")
+                ):
+                    return None
+        for s in node.get("allOf", []):
+            if isinstance(s, dict):
+                sub_names = self._static_evaluated_names(s, inst, ref_stack)
+                if sub_names is None:
+                    return None
+                out.update(sub_names)
+        if "$ref" in node:
+            ref = node["$ref"]
+            if ref in ref_stack:
+                return None
+            target = self._resolve_ref(ref)
+            if isinstance(target, dict):
+                sub_names = self._static_evaluated_names(target, inst, ref_stack + (ref,))
+                if sub_names is None:
+                    return None
+                out.update(sub_names)
+        return out
+
+    def _kw_unevaluatedProperties(self, node, value, inst, path, add, sub, collect, leaves, conds):
+        if not inst.is_object():
+            return
+        evaluated = self._static_evaluated_names(node, inst)
+        if evaluated is None:
+            raise SpecError(
+                f"{path}/unevaluatedProperties: dynamic branch evaluation "
+                "not supported by the static compiler yet"
+            )
+        names = inst.member_names()
+        kpath = f"{path}/unevaluatedProperties"
+        if names is not None:
+            for name in names:
+                if name in evaluated:
+                    continue
+                m = inst.member(name)
+                pres = inst.presence(name)
+                c = sub(value, m, kpath, collect)
+                conds.append(F.when(pres, c.valid).otherwise(True))
+                for lf in c.leaves:
+                    leaves.append(Leaf(lf.constraint_id, lf.instance_path, lf.failed & pres, lf.observed))
+        else:
+            declared = sorted(evaluated)
+            patterns = [translate(p) for p in node.get("patternProperties", {})]
+            elem_dt = inst.dtype.valueType
+
+            def leftover(k: Column) -> Column:
+                cond = F.lit(True)
+                if declared:
+                    cond = cond & ~k.isin(*declared)
+                for jre in patterns:
+                    cond = cond & ~k.rlike(jre)
+                return cond
+
+            check = F.forall(
+                F.map_values(F.map_filter(inst.col, lambda k, v: leftover(k))),
+                lambda v: sub(value, Instance(v, elem_dt, inst.path + "/*"), kpath, False).valid,
+            )
+            add(
+                "unevaluatedProperties",
+                F.when(inst.not_null(), F.coalesce(check, F.lit(True))).otherwise(True),
+            )
+
+    def _kw_unevaluatedItems(self, node, value, inst, path, add, sub, collect, leaves, conds):
+        if not self._is_array(inst):
+            return
+        for branch_kw in ("anyOf", "oneOf", "if", "then", "else", "allOf", "$ref"):
+            v = node.get(branch_kw)
+            specs = v if isinstance(v, list) else ([v] if v is not None else [])
+            for s in specs:
+                if isinstance(s, dict) and any(k in s for k in ("items", "additionalItems", "contains")):
+                    raise SpecError(
+                        f"{path}/unevaluatedItems: dynamic branch evaluation not supported yet"
+                    )
+        items = node.get("items")
+        col = inst.col
+        kpath = f"{path}/unevaluatedItems"
+        if items is not None and not isinstance(items, list):
+            return  # schema-form items evaluates everything
+        if "additionalItems" in node and isinstance(items, list):
+            return  # additionalItems evaluates the tail
+        k = len(items) if isinstance(items, list) else 0
+        tail = F.slice(col, k + 1, F.size(col) - k)
+        check = F.forall(
+            tail, lambda x: sub(value, self._elem(inst, x), kpath, False).valid
+        )
+        add(
+            "unevaluatedItems",
+            F.when(col.isNotNull() & (F.size(col) > k), F.coalesce(check, F.lit(True))).otherwise(True),
+        )
+
+
+def compile_spec(
+    spec: dict | bool, schema: StructType, options: Options | None = None
+) -> Compiled:
+    """Compile a row-scope constraint spec against a table schema."""
+    return Compiler(spec, options).compile_row(schema)
+
+
+def spec_from_json(text: str) -> dict:
+    try:
+        return json.loads(text)
+    except json.JSONDecodeError as e:
+        raise SpecError(f"spec is not valid JSON: {e}") from e

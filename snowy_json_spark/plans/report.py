@@ -1,0 +1,79 @@
+"""Verdict / violation / metrics DataFrame builders.
+
+Snow's output is ``{valid, errors:[{schemaLocation, instanceLocation,
+error}]}`` (`Main.java:165-190`, error store `ValidatorContext.java:851-865`).
+Here the same information is produced *columnar*:
+
+- ``with_verdict``: one boolean ``passed`` column — the AND of every
+  compiled check (`ValidatorContext.java:1254-1273` analog), evaluated
+  in a single whole-stage-codegen ``select``.
+- ``violations``: one row per failed (instance, constraint) —
+  build an array of (constraint_id, instance_path, observed) structs,
+  ``filter`` it to the failed ones, ``explode``.  Rows with no failures
+  produce no output (posexplode of empty array), so the explode is
+  output-proportional, not constraint-proportional.
+- ``partition_verdicts``: per-partition pass/fail + counts (north_rule:
+  "each partition emits a pass/fail verdict").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .compiler import Compiled
+
+VIOLATION_COLUMNS = ["constraint_id", "instance_path", "observed_value"]
+
+
+def checks_array(plan: Compiled) -> Column:
+    """Array of violation structs for the failed leaves only."""
+    if not plan.leaves:
+        return F.array().cast("array<struct<constraint_id:string,instance_path:string,observed_value:string>>")
+    structs = [
+        F.struct(
+            F.lit(leaf.constraint_id).alias("constraint_id"),
+            F.lit(leaf.instance_path).alias("instance_path"),
+            F.coalesce(leaf.observed, F.lit("null")).alias("observed_value"),
+            F.coalesce(leaf.failed, F.lit(False)).alias("failed"),
+        )
+        for leaf in plan.leaves
+    ]
+    arr = F.filter(F.array(*structs), lambda x: x["failed"])
+    return F.transform(
+        arr,
+        lambda x: F.struct(
+            x["constraint_id"].alias("constraint_id"),
+            x["instance_path"].alias("instance_path"),
+            x["observed_value"].alias("observed_value"),
+        ),
+    )
+
+
+def with_verdict(df: DataFrame, plan: Compiled, name: str = "passed") -> DataFrame:
+    return df.withColumn(name, F.coalesce(plan.valid, F.lit(False)))
+
+
+def violations(df: DataFrame, plan: Compiled, id_cols: list[str]) -> DataFrame:
+    """One row per (row, failed constraint): (ids..., constraint_id,
+    instance_path, observed_value)."""
+    arr = checks_array(plan)
+    return (
+        df.select(*id_cols, F.explode(arr).alias("_v"))
+        .select(*id_cols, *[F.col(f"_v.{c}").alias(c) for c in VIOLATION_COLUMNS])
+    )
+
+
+def partition_verdicts(
+    df: DataFrame, plan: Compiled, partition_cols: list[str]
+) -> DataFrame:
+    """Per-partition verdict: passed iff every row passed, plus counts.
+
+    Map-side partial aggregation makes this a single cheap shuffle of
+    one row per (partition, grain)."""
+    valid = F.coalesce(plan.valid, F.lit(False))
+    return df.groupBy(*partition_cols).agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.sum((~valid).cast("long")).alias("failed_rows"),
+        F.min(valid).alias("passed"),
+    )

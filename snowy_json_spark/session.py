@@ -1,0 +1,42 @@
+"""SparkSession factory tuned for the validation engine.
+
+Scale notes (100 TB / 1000-executor design intent):
+- AQE on: runtime coalescing of shuffle partitions + skew-join splitting
+  replaces hand-tuned ``spark.sql.shuffle.partitions`` at large scale.
+- Arrow on: every pandas UDF (formats, minhash, ANN) moves data in
+  columnar Arrow batches, never per-row pickling.
+- Shuffle partitions default to cores locally; on a real cluster this is
+  overridden by AQE's coalescing from an intentionally-high initial value.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "snowy-json-spark",
+    cores: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cores = cores or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
