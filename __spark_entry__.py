@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` runs the flagship validation; ``queries()`` maps one
-entry per implemented operator from SURVEY.md §2 to a callable
-``(spark, sf_dir) -> DataFrame``; ``oracle_sql()`` gives the DuckDB
-oracle for each.  Column names are aliased identically on both sides
-(the driver hash-compares values after sorting columns by name).
+entry per implemented operator family (SURVEY.md §2 + training-data
+ops) to ``(spark, sf_dir) -> DataFrame``; ``oracle_sql()`` provides the
+DuckDB oracle.  Column names are aliased identically on both sides —
+the driver sorts columns by name before value-hashing.
+
+Non-SQL-expressible operators (MinHash LSH, SimHash, hyperplane-LSH
+ANN, winnowing, image metadata) appear without an oracle entry →
+rows-only check; their correctness is pinned by pytest goldens instead.
 """
 
 from __future__ import annotations
@@ -14,6 +18,21 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from snowy_json_spark.operators.dedup import (
+    jaccard_pairs,
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+)
+from snowy_json_spark.operators.drift import HistogramSpec, histogram
+from snowy_json_spark.operators.referential import anti_join_violations
+from snowy_json_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+    with_lsh_bucket,
+)
+from snowy_json_spark.operators.stats import ColumnStatsSpec, column_stats
+from snowy_json_spark.operators.text import detect_language, token_count
+from snowy_json_spark.operators.uniqueness import duplicate_keys_salted
 from snowy_json_spark.plans.compiler import compile_spec
 from snowy_json_spark.plans.report import violations, with_verdict
 
@@ -29,6 +48,12 @@ FLAGSHIP_SPEC = {
     },
 }
 
+_PASS_SQL = """doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL
+           AND regexp_matches(lang, '^[a-z]{2}$')
+           AND (n_chars IS NULL OR (n_chars >= 0 AND n_chars <= 500))
+           AND (source IS NULL OR regexp_matches(source, '^src(0|[1-9][0-9]*)$'))
+           AND (text IS NULL OR (length(text) >= 1 AND length(text) <= 10000))"""
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: violations of the documents spec at sf0.001."""
@@ -37,14 +62,17 @@ def entry(spark: SparkSession) -> DataFrame:
     return violations(df, plan, ["doc_id"])
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
 # ---------------------------------------------------------------------------
-# queries / oracle pairs
+# row-scope validation
 # ---------------------------------------------------------------------------
 
 
-def _q_row_validation_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Row-scope spec over documents → per-row verdict counts by lang."""
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+def _q_row_validation_documents(spark, sf_dir):
+    df = _docs(spark, sf_dir)
     plan = compile_spec(FLAGSHIP_SPEC, df.schema)
     return (
         with_verdict(df, plan)
@@ -57,28 +85,356 @@ def _q_row_validation_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_partition_verdicts_documents(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    plan = compile_spec(FLAGSHIP_SPEC, df.schema)
+    v = with_verdict(df, plan)
+    return (
+        v.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("row_count"),
+            F.sum((~F.col("passed")).cast("long")).alias("failed_rows"),
+            F.min("passed").alias("passed"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# column stats (single-pass agg)
+# ---------------------------------------------------------------------------
+
+
+def _q_column_stats_documents(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    row = column_stats(
+        df,
+        [
+            ColumnStatsSpec("n_chars", exact_distinct=True),
+            ColumnStatsSpec("lang", exact_distinct=True),
+            ColumnStatsSpec("text", exact_distinct=True),
+        ],
+    )
+    return row.select(
+        F.col("n_chars__count").alias("n_rows"),
+        F.col("n_chars__min").alias("n_chars_min"),
+        F.col("n_chars__max").alias("n_chars_max"),
+        F.col("n_chars__distinct").alias("n_chars_distinct"),
+        F.col("lang__distinct").alias("lang_distinct"),
+        F.col("text__null_rate").alias("text_null_rate"),
+        F.col("text__max_length").alias("text_max_length"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# uniqueness (salted groupBy)
+# ---------------------------------------------------------------------------
+
+
+def _q_duplicate_keys_documents(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    return duplicate_keys_salted(df, ["lang", "n_chars"], salt_buckets=16).orderBy(
+        "lang", "n_chars"
+    )
+
+
+def _q_exact_dup_groups_events(spark, sf_dir):
+    # exact-dedup plan shape (hash-groupBy, partial agg) with md5 as the
+    # content hash so DuckDB computes the identical value
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.md5(F.col("props")).alias("content_hash"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("content_hash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# referential (broadcast anti-join)
+# ---------------------------------------------------------------------------
+
+
+def _q_customers_without_orders(spark, sf_dir):
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        anti_join_violations(customer, "c_custkey", orders, "o_custkey")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+def _q_lang_membership_documents(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    ref = spark.createDataFrame([("en",), ("de",), ("fr",)], "lang string")
+    return (
+        anti_join_violations(df, "lang", ref, "lang")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# timestamp-window + JSON checks on events
+# ---------------------------------------------------------------------------
+
+
+def _q_ts_window_events(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = (
+        (F.col("ts") < F.lit("2024-01-05 00:00:00").cast("timestamp"))
+        | (F.col("ts") >= F.lit("2024-01-25 00:00:00").cast("timestamp"))
+    ).cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.sum(out).alias("n_outside"), F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("event_type")
+    )
+
+
+def _q_json_valid_events(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ok = F.try_parse_json(F.col("props")).isNotNull()
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(ok.cast("long")).alias("n_valid_json"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# drift histogram (floor-bucket, oracle-identical formula)
+# ---------------------------------------------------------------------------
+
+
+def _q_hist_nchars_by_lang(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    h = histogram(df, HistogramSpec("n_chars", lo=0, hi=600, n_buckets=12), ["lang"])
+    return h.orderBy("lang", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def _q_token_stats_by_source(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    return (
+        df.groupBy("source")
+        .agg(
+            F.sum(token_count(F.col("text")).cast("long")).alias("total_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+def _q_punct_chars_by_source(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    punct = F.length(F.col("text")) - F.length(
+        F.regexp_replace(F.col("text"), r"[^\w\s]", "")
+    )
+    return (
+        df.groupBy("source")
+        .agg(F.sum(punct.cast("long")).alias("total_punct"))
+        .orderBy("source")
+    )
+
+
+def _q_word_jaccard_pairs(spark, sf_dir):
+    df = _docs(spark, sf_dir).filter(F.col("doc_id") < 60)
+    jp = jaccard_pairs(df, "doc_id", "text", shingle_k=1, mode="word", min_jaccard=0.9)
+    return jp.select(
+        "id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# ANN similarity
+# ---------------------------------------------------------------------------
+
+
+def _q_ann_topk_embeddings(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    top = brute_force_topk(emb, "embedding", [float(x) for x in q], k=10)
+    return top.select("vec_id").orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# rows-only (non-SQL-expressible: LSH/UDF paths; pinned by pytest goldens)
+# ---------------------------------------------------------------------------
+
+
+def _q_minhash_near_dups_documents(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    return minhash_near_duplicates(
+        df, "doc_id", "text", threshold=0.5, n_hashes=64, n_bands=16
+    ).orderBy("id_a", "id_b")
+
+
+def _q_simhash_near_dups_documents(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    return simhash_near_duplicates(df, "doc_id", "text", max_hamming=6).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _q_lsh_topk_embeddings(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    row = emb.filter(F.col("vec_id") == 0).first()
+    dim = len(row["embedding"])
+    bucketed = with_lsh_bucket(emb, "embedding", dim, n_planes=6)
+    return lsh_topk(
+        bucketed,
+        "embedding",
+        [float(x) for x in row["embedding"]],
+        k=10,
+        n_planes=6,
+        n_probes=16,
+    ).select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def _q_detected_lang_documents(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    return (
+        df.select(detect_language(F.col("text")).alias("detected"))
+        .groupBy("detected")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("detected")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_validation_documents": _q_row_validation_documents,
+        "partition_verdicts_documents": _q_partition_verdicts_documents,
+        "column_stats_documents": _q_column_stats_documents,
+        "duplicate_keys_documents": _q_duplicate_keys_documents,
+        "exact_dup_groups_events": _q_exact_dup_groups_events,
+        "customers_without_orders": _q_customers_without_orders,
+        "lang_membership_documents": _q_lang_membership_documents,
+        "ts_window_events": _q_ts_window_events,
+        "json_valid_events": _q_json_valid_events,
+        "hist_nchars_by_lang": _q_hist_nchars_by_lang,
+        "token_stats_by_source": _q_token_stats_by_source,
+        "punct_chars_by_source": _q_punct_chars_by_source,
+        "word_jaccard_pairs": _q_word_jaccard_pairs,
+        "ann_topk_embeddings": _q_ann_topk_embeddings,
+        # rows-only (LSH / pandas-UDF paths; no SQL equivalent)
+        "minhash_near_dups_documents": _q_minhash_near_dups_documents,
+        "simhash_near_dups_documents": _q_simhash_near_dups_documents,
+        "lsh_topk_embeddings": _q_lsh_topk_embeddings,
+        "detected_lang_documents": _q_detected_lang_documents,
     }
+
+
+_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "row_validation_documents": """
-            SELECT lang,
-                   COUNT(*) AS n_rows,
-                   SUM(CASE WHEN doc_id IS NOT NULL AND text IS NOT NULL
-                             AND lang IS NOT NULL
-                             AND regexp_matches(lang, '^[a-z]{2}$')
-                             AND (n_chars IS NULL OR (n_chars >= 0 AND n_chars <= 500))
-                             AND (source IS NULL OR
-                                  regexp_matches(source, '^src(0|[1-9][0-9]*)$'))
-                             AND (text IS NULL OR
-                                  (length(text) >= 1 AND length(text) <= 10000))
-                            THEN 1 ELSE 0 END) AS n_passed
+        "row_validation_documents": f"""
+            SELECT lang, COUNT(*) AS n_rows,
+                   SUM(CASE WHEN {_PASS_SQL} THEN 1 ELSE 0 END) AS n_passed
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "partition_verdicts_documents": f"""
+            SELECT source, COUNT(*) AS row_count,
+                   SUM(CASE WHEN {_PASS_SQL} THEN 0 ELSE 1 END) AS failed_rows,
+                   bool_and({_PASS_SQL}) AS passed
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "column_stats_documents": """
+            SELECT COUNT(*) AS n_rows,
+                   MIN(n_chars) AS n_chars_min,
+                   MAX(n_chars) AS n_chars_max,
+                   COUNT(DISTINCT n_chars) AS n_chars_distinct,
+                   COUNT(DISTINCT lang) AS lang_distinct,
+                   AVG(CASE WHEN text IS NULL THEN 1.0 ELSE 0.0 END) AS text_null_rate,
+                   MAX(length(text)) AS text_max_length
             FROM documents
-            GROUP BY lang
-            ORDER BY lang
+        """,
+        "duplicate_keys_documents": """
+            SELECT lang, n_chars, COUNT(*) AS dup_count
+            FROM documents GROUP BY lang, n_chars HAVING COUNT(*) > 1
+            ORDER BY lang, n_chars
+        """,
+        "exact_dup_groups_events": """
+            SELECT md5(props) AS content_hash, COUNT(*) AS n_docs
+            FROM events GROUP BY props HAVING COUNT(*) > 1
+            ORDER BY content_hash
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+            ORDER BY c_custkey
+        """,
+        "lang_membership_documents": """
+            SELECT doc_id, lang FROM documents
+            WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr')
+            ORDER BY doc_id
+        """,
+        "ts_window_events": """
+            SELECT event_type,
+                   SUM(CASE WHEN ts < TIMESTAMP '2024-01-05 00:00:00'
+                             OR ts >= TIMESTAMP '2024-01-25 00:00:00'
+                            THEN 1 ELSE 0 END) AS n_outside,
+                   COUNT(*) AS n_rows
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "json_valid_events": """
+            SELECT COUNT(*) AS n_rows,
+                   SUM(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS n_valid_json
+            FROM events
+        """,
+        "hist_nchars_by_lang": """
+            SELECT lang,
+                   LEAST(GREATEST(CAST(FLOOR((n_chars - 0) / 50.0) AS BIGINT), 0), 11) AS bucket,
+                   COUNT(*) AS bucket_count
+            FROM documents WHERE n_chars IS NOT NULL
+            GROUP BY 1, 2 ORDER BY lang, bucket
+        """,
+        "token_stats_by_source": """
+            SELECT source,
+                   SUM(len(list_filter(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '), x -> x <> ''))) AS total_tokens,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "punct_chars_by_source": """
+            SELECT source,
+                   SUM(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) AS total_punct
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "word_jaccard_pairs": """
+            WITH sh AS (
+              SELECT DISTINCT doc_id, w AS shingle
+              FROM documents,
+                   UNNEST(list_filter(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '), x -> x <> '')) AS t(w)
+              WHERE doc_id < 60
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   ROUND(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.9
+            ORDER BY id_a, id_b
+        """,
+        "ann_topk_embeddings": """
+            SELECT vec_id FROM (
+              SELECT vec_id,
+                     list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS cosine
+              FROM embeddings
+              ORDER BY cosine DESC, vec_id LIMIT 10
+            ) ORDER BY vec_id
         """,
     }

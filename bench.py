@@ -1,0 +1,192 @@
+"""Benchmark: headline validation-engine queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...}
+
+Workload (mirrors the north-star surface):
+- q_pages_validate : full engine run (row checks + uniqueness +
+  referential + drift) over a generated Common-Crawl-style pages table
+  sized to the SF tier — the flagship number.
+- q_row_checks     : compiled row-spec select over lineitem (largest
+  table — raw columnar check throughput).
+- q_uniqueness     : salted duplicate detection on orders keys.
+- q_referential    : broadcast anti-join lineitem→orders.
+- q_stats          : single-pass column stats + HLL over events.
+- q_minhash        : MinHash+LSH near-dup sweep over documents.
+- q_ann            : brute-force cosine top-k over embeddings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from snowy_json_spark.engine import ValidationEngine  # noqa: E402
+from snowy_json_spark.operators.dedup import minhash_near_duplicates  # noqa: E402
+from snowy_json_spark.operators.referential import anti_join_violations  # noqa: E402
+from snowy_json_spark.operators.similarity import brute_force_topk  # noqa: E402
+from snowy_json_spark.operators.stats import ColumnStatsSpec, column_stats  # noqa: E402
+from snowy_json_spark.operators.uniqueness import duplicate_keys_salted  # noqa: E402
+from snowy_json_spark.plans.compiler import compile_spec  # noqa: E402
+from snowy_json_spark.plans.report import with_verdict  # noqa: E402
+from snowy_json_spark.session import get_spark  # noqa: E402
+from snowy_json_spark.sources.pages import (  # noqa: E402
+    generate_pages,
+    lang_ref,
+    with_partition_cols,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# pages rows scaled to tier: sf0.1 → 1M rows (~ the tier's lineitem scale)
+_SF_TO_PAGES = {"sf0.001": 10_000, "sf0.01": 100_000, "sf0.1": 1_000_000}
+PAGES_ROWS = int(
+    os.environ.get(
+        "SPARK_GRAFT_PAGES_ROWS",
+        _SF_TO_PAGES.get(os.path.basename(SF_DIR.rstrip("/")), 100_000),
+    )
+)
+
+PAGES_SPEC = {
+    "required": ["url", "warc_ts", "lang"],
+    "properties": {
+        "url": {"type": "string", "pattern": "^https://", "maxLength": 2048},
+        "lang": {"type": "string", "pattern": "^[a-z]{2}$"},
+        "text": {"type": ["string", "null"], "minLength": 1},
+        "warc_ts": {
+            "type": "timestamp",
+            "minimum": "2026-07-01 00:00:00",
+            "maximum": "2026-07-31 00:00:00",
+        },
+    },
+    "x-table-checks": [
+        {"id": "url_unique", "kind": "unique", "keys": ["url"]},
+        {"id": "lang_valid", "kind": "referential", "column": "lang", "ref": "lang_ref"},
+        {
+            "id": "text_len_drift",
+            "kind": "drift",
+            "column": "text_len",
+            "expr": "length(text)",
+            "lo": 0,
+            "hi": 1500,
+            "buckets": 20,
+            "group_by": "lang",
+        },
+    ],
+}
+
+LINEITEM_SPEC = {
+    "required": ["l_orderkey", "l_partkey", "l_quantity"],
+    "properties": {
+        "l_quantity": {"minimum": 0, "maximum": 100},
+        "l_discount": {"minimum": 0, "maximum": 0.5},
+        "l_extendedprice": {"exclusiveMinimum": 0},
+        "l_returnflag": {"enum": ["A", "N", "R"]},
+        "l_linestatus": {"pattern": "^[OF]$"},
+        "l_tax": {"minimum": 0},
+    },
+}
+
+
+def main() -> None:
+    spark = get_spark("snowy-json-spark-bench", cores=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    # -- q_pages_validate (flagship) --------------------------------------
+    pages = with_partition_cols(generate_pages(spark, PAGES_ROWS, CPUS * 2))
+    pages.write.mode("overwrite").parquet("/tmp/bench_pages")
+    pages = spark.read.parquet("/tmp/bench_pages")
+    dims = {"lang_ref": lang_ref(spark)}
+    eng = ValidationEngine(
+        PAGES_SPEC, id_cols=["url"], partition_cols=["lang", "url_bucket"]
+    )
+
+    def run_pages():
+        res = eng.run(pages, dims=dims)
+        n = res.verdicts.agg(F.sum("row_count")).collect()[0][0]
+        res.violations.count()
+        res.table_violations.count()
+        return n
+
+    n_pages = timed("q_pages_validate", run_pages)
+
+    # -- q_row_checks ------------------------------------------------------
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    plan = compile_spec(LINEITEM_SPEC, li.schema)
+    timed(
+        "q_row_checks",
+        lambda: with_verdict(li, plan).agg(F.sum(F.col("passed").cast("long"))).collect(),
+    )
+
+    # -- q_uniqueness --------------------------------------------------------
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    timed(
+        "q_uniqueness",
+        lambda: duplicate_keys_salted(orders, ["o_custkey", "o_orderstatus"]).count(),
+    )
+
+    # -- q_referential -------------------------------------------------------
+    timed(
+        "q_referential",
+        lambda: anti_join_violations(li, "l_orderkey", orders, "o_orderkey").count(),
+    )
+
+    # -- q_stats ---------------------------------------------------------------
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    timed(
+        "q_stats",
+        lambda: column_stats(
+            ev,
+            [ColumnStatsSpec("value"), ColumnStatsSpec("user_id"), ColumnStatsSpec("event_type")],
+        ).collect(),
+    )
+
+    # -- q_minhash ---------------------------------------------------------------
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    timed(
+        "q_minhash",
+        lambda: minhash_near_duplicates(
+            docs, "doc_id", "text", threshold=0.5, n_hashes=64, n_bands=16
+        ).count(),
+    )
+
+    # -- q_ann -------------------------------------------------------------------
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qvec = [float(x) for x in emb.first()["embedding"]]
+    timed("q_ann", lambda: brute_force_topk(emb, "embedding", qvec, k=10).collect())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "validation_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": os.path.basename(SF_DIR.rstrip("/")),
+                "cpus": CPUS,
+                "pages_rows": PAGES_ROWS,
+                "pages_docs_per_sec": round(n_pages / timings["q_pages_validate"], 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,264 @@
+"""ValidationEngine: spec → compiled plans → verdicts / violations /
+metrics, with resumable per-partition execution.
+
+Lifecycle (SURVEY.md §3.1 Spark equivalent):
+
+  spec (dict/JSON) ──compile──▶ row Column plan  +  table-check plans
+       │                              │
+       └──────── run(df) ────────────▶ one select for all row checks,
+                                       agg/join jobs for table checks
+                                       → verdicts, violations, metrics
+                                       → checkpoint manifest append
+
+Table-scope checks live under the spec's ``x-table-checks`` key (an
+engine extension — Snow has no table scope):
+
+```json
+{"x-table-checks": [
+  {"id": "url_unique",  "kind": "unique",      "keys": ["url"]},
+  {"id": "lang_valid",  "kind": "referential", "column": "lang", "ref": "lang_ref"},
+  {"id": "ts_stats",    "kind": "column_stats","column": "warc_ts",
+   "max_null_rate": 0.0},
+  {"id": "len_drift",   "kind": "drift",       "column": "text_len",
+   "lo": 0, "hi": 4000, "buckets": 20, "group_by": "lang",
+   "expr": "length(text)"}
+]}
+```
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.drift import (
+    DriftThresholds,
+    HistogramSpec,
+    collect_histogram,
+    drift_verdicts,
+)
+from .operators.referential import referential_violations
+from .operators.stats import ColumnStatsSpec, column_stats, stats_violations
+from .operators.uniqueness import duplicate_keys_salted, uniqueness_violations
+from .plans.compiler import Compiled, Options, SpecError, compile_spec
+from .plans.report import VIOLATION_COLUMNS, partition_verdicts, violations, with_verdict
+from .streaming.manifest import Manifest, lineage_hash, partition_key_expr
+
+
+@dataclass
+class ValidationResult:
+    verdicts: DataFrame  # per-partition: partition cols + row_count/failed_rows/passed
+    violations: DataFrame  # row-scope: id cols + constraint_id/instance_path/observed
+    table_violations: DataFrame | None  # table-scope violations (same shape)
+    drift: list[dict] = field(default_factory=list)
+    stats: dict = field(default_factory=dict)
+    skipped_partitions: list[str] = field(default_factory=list)
+
+
+class ValidationEngine:
+    def __init__(
+        self,
+        spec: dict,
+        options: Options | None = None,
+        id_cols: list[str] | None = None,
+        partition_cols: list[str] | None = None,
+    ):
+        self.spec = spec
+        self.options = options or Options()
+        self.id_cols = id_cols or ["url"]
+        self.partition_cols = partition_cols or []
+        self.table_checks = spec.get("x-table-checks", [])
+
+    # ------------------------------------------------------------------
+    def compile(self, df: DataFrame) -> Compiled:
+        return compile_spec(self.spec, df.schema, self.options)
+
+    # ------------------------------------------------------------------
+    def _run_table_checks(
+        self, df: DataFrame, dims: dict[str, DataFrame], snapshot: dict | None
+    ) -> tuple[DataFrame | None, list[dict], dict]:
+        spark = df.sparkSession
+        tv_parts: list[DataFrame] = []
+        drift_out: list[dict] = []
+        stats_out: dict = {}
+        empty_ids = [F.lit(None).cast("string").alias(c) for c in self.id_cols]
+
+        for chk in self.table_checks:
+            kind = chk.get("kind")
+            cid = f"#/x-table-checks/{chk.get('id', kind)}"
+            if kind == "unique":
+                keys = chk["keys"]
+                v = uniqueness_violations(df, keys, cid)
+                # project to the standard shape: id cols unavailable for an
+                # aggregated dup row → carry key repr in observed_value
+                tv_parts.append(
+                    v.select(*empty_ids, *[F.col(c) for c in VIOLATION_COLUMNS])
+                )
+            elif kind == "referential":
+                colname = chk["column"]
+                ref = chk["ref"]
+                if ref not in dims:
+                    raise SpecError(f"referential check {cid}: unknown dim {ref!r}")
+                dim = dims[ref]
+                dim_key = chk.get("ref_column", colname)
+                v = referential_violations(
+                    df,
+                    colname,
+                    dim,
+                    dim_key,
+                    cid,
+                    self.id_cols,
+                    broadcast_dim=chk.get("broadcast", True),
+                )
+                tv_parts.append(v.select(*self.id_cols, *VIOLATION_COLUMNS))
+            elif kind == "column_stats":
+                spec = ColumnStatsSpec(
+                    column=chk["column"],
+                    max_null_rate=chk.get("max_null_rate"),
+                    min_value=chk.get("min_value"),
+                    max_value=chk.get("max_value"),
+                    min_distinct=chk.get("min_distinct"),
+                    max_distinct=chk.get("max_distinct"),
+                    exact_distinct=chk.get("exact_distinct", False),
+                )
+                row = column_stats(df, [spec]).collect()[0].asDict()
+                stats_out.update(row)
+                svs = stats_violations(row, [spec])
+                if svs:
+                    tv_parts.append(
+                        spark.createDataFrame(
+                            [
+                                tuple([None] * len(self.id_cols))
+                                + (
+                                    s["constraint_id"],
+                                    s["instance_path"],
+                                    s["observed_value"],
+                                )
+                                for s in svs
+                            ],
+                            ", ".join(
+                                [f"{c} string" for c in self.id_cols]
+                                + [f"{c} string" for c in VIOLATION_COLUMNS]
+                            ),
+                        )
+                    )
+            elif kind == "drift":
+                expr = chk.get("expr")
+                src = df.withColumn(chk["column"], F.expr(expr)) if expr else df
+                hspec = HistogramSpec(
+                    chk["column"], chk["lo"], chk["hi"], chk.get("buckets", 20)
+                )
+                cur = collect_histogram(src, hspec, chk.get("group_by"))
+                snap = (snapshot or {}).get(chk.get("id"), cur)
+                th = DriftThresholds(
+                    psi_warn=chk.get("psi_warn", 0.1),
+                    psi_fail=chk.get("psi_fail", 0.25),
+                    ks_fail=chk.get("ks_fail", 0.2),
+                )
+                for v in drift_verdicts(cur, snap, th):
+                    v["check_id"] = chk.get("id")
+                    drift_out.append(v)
+            else:
+                raise SpecError(f"unknown table check kind: {kind!r}")
+
+        table_viol = None
+        if tv_parts:
+            table_viol = tv_parts[0]
+            for p in tv_parts[1:]:
+                table_viol = table_viol.unionByName(p)
+        return table_viol, drift_out, stats_out
+
+    # ------------------------------------------------------------------
+    def run(
+        self,
+        df: DataFrame,
+        dims: dict[str, DataFrame] | None = None,
+        snapshot: dict | None = None,
+        manifest: Manifest | None = None,
+    ) -> ValidationResult:
+        """Validate ``df``; with a manifest, skip validated partitions.
+
+        Resume is **partition pruning**: pending partitions become an
+        ``isin`` filter on the partition-key expression, pushed to the
+        scan."""
+        spark = df.sparkSession
+        skipped: list[str] = []
+        if manifest is not None and self.partition_cols:
+            keyx = partition_key_expr(self.partition_cols)
+            all_keys = [
+                r["k"] for r in df.select(keyx.alias("k")).distinct().collect()
+            ]
+            done = manifest.validated_keys(spark, self.spec)
+            pending = [k for k in all_keys if k not in done]
+            skipped = sorted(set(all_keys) & done)
+            if not pending:
+                empty_v = spark.createDataFrame(
+                    [], self._verdict_schema(df)
+                )
+                return ValidationResult(
+                    verdicts=empty_v,
+                    violations=spark.createDataFrame([], self._violation_schema(df)),
+                    table_violations=None,
+                    skipped_partitions=skipped,
+                )
+            df = df.filter(keyx.isin(pending))
+
+        plan = self.compile(df)
+        if self.partition_cols:
+            verdicts = partition_verdicts(df, plan, self.partition_cols)
+        else:
+            verdicts = partition_verdicts(
+                df.withColumn("_all", F.lit("all")), plan, ["_all"]
+            )
+        viols = violations(df, plan, self.id_cols)
+        table_viol, drift_out, stats_out = self._run_table_checks(
+            df, dims or {}, snapshot
+        )
+
+        if manifest is not None and self.partition_cols:
+            vrows = verdicts.collect()
+            keyed = []
+            for r in vrows:
+                key = "|".join(
+                    str(r[c]) if r[c] is not None else "∅" for c in self.partition_cols
+                )
+                keyed.append(
+                    {
+                        "partition_key": key,
+                        "lineage_hash": lineage_hash(self.spec, key),
+                        "status": "validated",
+                        "row_count": r["row_count"],
+                        "failed_rows": r["failed_rows"],
+                        "passed": r["passed"],
+                    }
+                )
+            manifest.append(spark, keyed)
+            verdicts = spark.createDataFrame(vrows, verdicts.schema)
+
+        return ValidationResult(
+            verdicts=verdicts,
+            violations=viols,
+            table_violations=table_viol,
+            drift=drift_out,
+            stats=stats_out,
+            skipped_partitions=skipped,
+        )
+
+    # ------------------------------------------------------------------
+    def _verdict_schema(self, df: DataFrame):
+        cols = self.partition_cols or ["_all"]
+        base = [
+            f"`{c}` {df.schema[c].dataType.simpleString()}"
+            if c in df.columns
+            else f"`{c}` string"
+            for c in cols
+        ]
+        return ", ".join(base + ["row_count long", "failed_rows long", "passed boolean"])
+
+    def _violation_schema(self, df: DataFrame):
+        base = [
+            f"`{c}` {df.schema[c].dataType.simpleString()}" for c in self.id_cols
+        ]
+        return ", ".join(base + [f"{c} string" for c in VIOLATION_COLUMNS])

@@ -1,0 +1,373 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five strategies, each scale-shaped for 10^12 rows:
+
+- **exact**: hash-groupBy on a normalized content hash — one partial-agg
+  shuffle keyed by the 64/128-bit hash, never by the text itself.
+- **MinHash + LSH**: shingle → JVM-side shingle hashing → numpy-batched
+  minhash signatures (Arrow pandas UDF) → band/bucket explode →
+  bucket-join for candidates.  Shuffle volume = rows × bands, each row
+  a (bucket, id) pair — no quadratic pair materialization outside
+  buckets.
+- **SimHash**: 64-bit weighted-bit signature, banded into 16-bit keys;
+  candidates = equal band key, verify by Hamming distance.
+- **n-gram Jaccard**: exact similarity on candidate pairs via shingle
+  explode + self-join (SQL-expressible, used as the DuckDB oracle for
+  the approximate paths).
+- **embedding cosine**: near-dup by cosine ≥ τ; brute-force within
+  buckets, random-hyperplane LSH for the scale path
+  (see :mod:`.similarity`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+_MERSENNE = (1 << 61) - 1
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def normalized_text(col: Column) -> Column:
+    """Lowercase, collapse whitespace — the usual near-exact normalizer."""
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def content_hash(col: Column) -> Column:
+    return F.xxhash64(normalized_text(col))
+
+
+def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(content_hash, n_docs, doc_ids) for groups with >1 member.
+
+    Shuffles only (hash, id) pairs; partial agg bounds map output."""
+    return (
+        df.select(F.col(id_col), content_hash(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the lowest-id row per content hash (deterministic winner)."""
+    w_min = (
+        df.select(F.col(id_col), content_hash(F.col(text_col)).alias("_ch"))
+        .groupBy("_ch")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(w_min, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingling (shared by minhash / jaccard)
+# ---------------------------------------------------------------------------
+
+
+def shingles(col: Column, k: int = 5, mode: str = "char") -> Column:
+    """Array of k-shingles (char k-grams or word k-grams), distinct."""
+    if mode == "char":
+        s = normalized_text(col)
+        idx = F.sequence(F.lit(1), F.greatest(F.length(s) - (k - 1), F.lit(1)))
+        return F.array_distinct(F.transform(idx, lambda i: s.substr(i, F.lit(k))))
+    words = F.split(normalized_text(col), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+    )
+
+
+def shingle_hashes(col: Column, k: int = 5, mode: str = "char") -> Column:
+    """JVM-side 64-bit hash per shingle — the only per-token work; all
+    minhash arithmetic below happens on these longs in numpy."""
+    return F.transform(shingles(col, k, mode), lambda s: F.xxhash64(s))
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures (numpy-batched pandas UDF, Arrow transfer)
+# ---------------------------------------------------------------------------
+
+
+def _minhash_params(n_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=n_hashes, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=n_hashes, dtype=np.int64)
+    return a, b
+
+
+def minhash_signature_udf(n_hashes: int = 128, seed: int = 42):
+    a, b = _minhash_params(n_hashes, seed)
+    a_ = a.astype(object)  # python ints: exact modular arithmetic, no overflow
+    b_ = b.astype(object)
+
+    def batch(hash_arrays: pd.Series) -> pd.Series:
+        out = []
+        for arr in hash_arrays:
+            if arr is None or len(arr) == 0:
+                out.append(np.full(n_hashes, _MERSENNE, dtype=np.int64).tolist())
+                continue
+            h = np.asarray(arr, dtype=np.int64).astype(object) & ((1 << 61) - 1)
+            # sig_i = min_j (a_i * h_j + b_i) mod p   (universal hashing)
+            m = (a_[:, None] * h[None, :] + b_[:, None]) % _MERSENNE
+            out.append(np.array(m.min(axis=1), dtype=np.int64).tolist())
+        return pd.Series(out)
+
+    return F.pandas_udf(batch, ArrayType(LongType()))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 128,
+    shingle_k: int = 5,
+    mode: str = "char",
+    seed: int = 42,
+) -> DataFrame:
+    udf = minhash_signature_udf(n_hashes, seed)
+    return df.select(
+        F.col(id_col),
+        udf(shingle_hashes(F.col(text_col), shingle_k, mode)).alias("minhash"),
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, n_bands: int = 16, rows_per_band: int = 8
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become candidate pairs.
+
+    Explodes to n_bands rows per doc keyed by (band, bucket-hash) —
+    the shuffle is linear in rows×bands; pairs materialize only inside
+    buckets (collect_list per bucket then pairwise explode), which is
+    the whole point of LSH."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(
+                    F.slice(F.col("minhash"), i * rows_per_band + 1, rows_per_band)
+                ).alias("bucket"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    exploded = sigs.select(F.col(id_col), F.explode(bands).alias("b")).select(
+        id_col, "b.band", "b.bucket"
+    )
+    grouped = (
+        exploded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    # pairwise within bucket, deduped across bands
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b").distinct()
+    return pairs
+
+
+def estimated_jaccard(
+    pairs: DataFrame, sigs: DataFrame, id_col: str
+) -> DataFrame:
+    """Signature-estimated Jaccard per candidate pair: fraction of equal
+    minhash components (unbiased estimator)."""
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("sig_a"))
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("sig_b"))
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    eq = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return j.select(
+        "id_a",
+        "id_b",
+        (eq / F.size(F.col("sig_a"))).alias("est_jaccard"),
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    n_hashes: int = 128,
+    n_bands: int = 16,
+    shingle_k: int = 5,
+    mode: str = "char",
+) -> DataFrame:
+    """Full MinHash+LSH pipeline → (id_a, id_b, est_jaccard ≥ threshold)."""
+    rows_per_band = n_hashes // n_bands
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k, mode).cache()
+    pairs = lsh_candidate_pairs(sigs, id_col, n_bands, rows_per_band)
+    return estimated_jaccard(pairs, sigs, id_col).filter(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (explode + self-join; the SQL-expressible oracle)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 5,
+    mode: str = "char",
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact pairwise Jaccard over distinct shingles.
+
+    Cost is |pairs sharing ≥1 shingle| — fine for oracle scales and for
+    verifying candidates; the LSH path above is the 10^12-row strategy."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(F.col(text_col), shingle_k, mode)).alias("shingle"),
+    ).distinct()
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col("_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(col: Column) -> Column:
+    """64-bit SimHash over word hashes, pure JVM-side.
+
+    bit_i = sign( sum_words (word_hash bit_i ? +1 : -1) ); computed via
+    aggregate over the 64 bit positions with shiftright/bitwise-and."""
+    words = F.filter(F.split(normalized_text(col), " "), lambda w: w != "")
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    bits = []
+    for i in range(64):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h, i=i: acc + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+        bits.append(F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0)).alias(f"b{i}"))
+    out = F.lit(0).cast("long")
+    for i, b in enumerate(bits):
+        out = out.bitwiseOR(F.shiftleft(b, i))
+    return out
+
+
+def simhash64_udf():
+    """numpy-batched SimHash — the fast path (64 aggregate passes of the
+    Column version are O(64·words); numpy does one matrix op)."""
+
+    def batch(hash_arrays: pd.Series) -> pd.Series:
+        out = np.zeros(len(hash_arrays), dtype=np.int64)
+        for idx, arr in enumerate(hash_arrays):
+            if arr is None or len(arr) == 0:
+                continue
+            h = np.asarray(arr, dtype=np.uint64)
+            bits = (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
+            votes = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for i in np.nonzero(votes > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(i)
+            out[idx] = sig.astype(np.int64)
+        return pd.Series(out)
+
+    return F.pandas_udf(batch, LongType())
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    words = F.filter(
+        F.split(normalized_text(F.col(text_col)), " "), lambda w: w != ""
+    )
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    return df.select(F.col(id_col), simhash64_udf()(hashes).alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_duplicates(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Banded SimHash: 4 bands of 16 bits — a pair within Hamming ≤3 of
+    64 bits must agree on ≥1 full band (pigeonhole), so candidates =
+    equal band value; verify by exact Hamming distance."""
+    sigs = simhash_signatures(df, id_col, text_col).cache()
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("simhash"), i * 16)
+                .bitwiseAND(F.lit((1 << 16) - 1))
+                .alias("key"),
+            )
+            for i in range(4)
+        ]
+    )
+    exploded = sigs.select(id_col, "simhash", F.explode(bands).alias("b")).select(
+        id_col, "simhash", "b.band", "b.key"
+    )
+    a = exploded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "band", "key"
+    )
+    b = exploded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "band", "key"
+    )
+    cands = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    return cands.select(
+        "id_a",
+        "id_b",
+        hamming64(F.col("sig_a"), F.col("sig_b")).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,180 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Two tiers:
+
+- **Brute-force cosine top-k** — the correctness baseline.  Dot product
+  and norms computed JVM-side (``zip_with`` + ``aggregate``), top-k via
+  a single ``orderBy(limit k)`` (Spark's TakeOrderedAndProject: each
+  partition keeps a k-heap, driver merges k×partitions rows — no full
+  sort, no full shuffle).
+- **Random-hyperplane LSH buckets** — the 10^12-row path.  Sign-bit
+  signature under D deterministic hyperplanes → bucket id; a query
+  probes only its bucket (plus optional multi-probe neighbors at
+  Hamming distance 1).  Recall tuned by n_planes / n_probes; verified
+  against brute force in tests.
+
+Also: pairwise cosine near-duplicate detection for the dedup suite
+(embedding-cosine variant).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _vec_lit(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k: (id, cosine) ordered desc.
+
+    orderBy+limit compiles to TakeOrderedAndProject — per-partition
+    k-heaps, no global sort."""
+    q = _vec_lit(query)
+    scored = df.select(
+        F.col(id_col),
+        cosine(F.col(vec_col).cast("array<double>"), q).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def bucket_expr(vec_col: Column, planes: np.ndarray) -> Column:
+    """Bucket id = integer of sign bits under each hyperplane, computed
+    JVM-side from literal plane arrays (no Python at runtime)."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        d = dot(vec_col, _vec_lit(plane.tolist()))
+        bit = F.when(d > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
+    return bucket
+
+
+def with_lsh_bucket(
+    df: DataFrame, vec_col: str, dim: int, n_planes: int = 12, seed: int = 42
+) -> DataFrame:
+    planes = hyperplanes(dim, n_planes, seed)
+    return df.withColumn(
+        "lsh_bucket", bucket_expr(F.col(vec_col).cast("array<double>"), planes)
+    )
+
+
+def _query_buckets(query: np.ndarray, planes: np.ndarray, n_probes: int) -> list[int]:
+    """Home bucket + multi-probe neighbors: single-bit flips in order of
+    smallest |margin| (most likely sign errors), then two-bit flips of
+    the lowest-margin pairs (Hamming-2 probing).
+
+    On clustered real-world embeddings the home bucket captures most
+    neighbors; on near-uniform vectors the Hamming-2 ring is what keeps
+    recall usable — tune n_probes to the recall/candidate-fraction
+    tradeoff the workload needs."""
+    import itertools
+
+    margins = planes @ query
+    n_planes = len(margins)
+    home = 0
+    for i, m in enumerate(margins):
+        if m > 0:
+            home |= 1 << i
+    order = np.argsort(np.abs(margins))
+    buckets = [home]
+    for i in order:
+        buckets.append(home ^ (1 << int(i)))
+    for i, j in itertools.combinations(order[: min(n_planes, 6)], 2):
+        buckets.append(home ^ (1 << int(i)) ^ (1 << int(j)))
+    return buckets[:n_probes]
+
+
+def lsh_topk(
+    df_bucketed: DataFrame,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    n_planes: int = 12,
+    n_probes: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only rows in the query's probe buckets.
+
+    The bucket filter prunes the scan to ~n_probes/2^n_planes of the
+    table; on a bucket-partitioned layout this is partition pruning."""
+    q = np.asarray(query, dtype=float)
+    planes = hyperplanes(len(query), n_planes, seed)
+    probes = _query_buckets(q, planes, n_probes)
+    cand = df_bucketed.filter(F.col("lsh_bucket").isin(probes))
+    qlit = _vec_lit(query)
+    scored = cand.select(
+        F.col(id_col),
+        cosine(F.col(vec_col).cast("array<double>"), qlit).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicates (dedup variant)
+# ---------------------------------------------------------------------------
+
+
+def cosine_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    dim: int | None = None,
+    n_planes: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold, candidate-limited to equal LSH
+    bucket (high-cosine pairs collide with high probability)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    b = with_lsh_bucket(df, vec_col, dim, n_planes, seed)
+    a = b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "lsh_bucket"
+    )
+    c = b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "lsh_bucket"
+    )
+    pairs = a.join(c, "lsh_bucket").filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        cosine(
+            F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")
+        ).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)

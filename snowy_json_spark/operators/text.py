@@ -1,0 +1,153 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot paths are pure ``pyspark.sql.functions`` expressions
+(whole-stage codegen); no Python in the loop.
+
+- language-ID: stopword-overlap heuristic, vectorized as
+  ``array_intersect`` against per-language literal arrays.
+- quality scoring: length / punctuation / stopword / uppercase ratios.
+- token counting: whitespace tokens and a BPE-ish regex token count.
+- document fingerprinting: normalized-content rolling hash +
+  winnowing-style k-gram minima.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalized_text
+
+# Tiny per-language stopword profiles (public common-word lists)
+STOPWORDS: dict[str, list[str]] = {
+    "en": "the of and to in a is that it for on with as are was be this have from or by not".split(),
+    "de": "der die das und ist in den von zu mit sich des auf für nicht ein eine als auch es".split(),
+    "fr": "le la les de des et un une du en est que qui dans pour sur pas au avec ne se".split(),
+    "es": "el la los las de y un una del en es que no por con para su al se como más".split(),
+    "pt": "o a os as de e um uma do da em é que não por com para seu ao se como mais".split(),
+}
+
+
+def words(col: Column) -> Column:
+    return F.filter(F.split(normalized_text(col), " "), lambda w: w != "")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (0 for empty/null-safe at caller)."""
+    return F.size(words(col))
+
+
+def regex_token_count(col: Column) -> Column:
+    """BPE-ish token estimate: words, numbers, and punctuation runs each
+    count as one token (a common pre-tokenizer split)."""
+    return F.size(
+        F.filter(
+            F.split(col, r"(?=[^\w])|(?<=[^\w])"),
+            lambda t: (t != "") & (t != " "),
+        )
+    )
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    ws = words(col)
+    hits = F.size(F.filter(ws, lambda w: F.array_contains(sw, w)))
+    return F.when(F.size(ws) > 0, hits / F.size(ws)).otherwise(F.lit(0.0))
+
+
+def punctuation_ratio(col: Column) -> Column:
+    n = F.length(col)
+    punct = n - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    return F.when(n > 0, punct / n).otherwise(F.lit(0.0))
+
+
+def uppercase_ratio(col: Column) -> Column:
+    n = F.length(col)
+    upper = n - F.length(F.regexp_replace(col, r"[A-Z]", ""))
+    return F.when(n > 0, upper / n).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: long enough, low punctuation
+    noise, reasonable stopword density, not shouting."""
+    length_ok = F.least(F.length(col) / F.lit(200.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(1.0) - punctuation_ratio(col) * 4, F.lit(0.0))
+    upper_pen = F.greatest(F.lit(1.0) - uppercase_ratio(col) * 4, F.lit(0.0))
+    sw = stopword_ratio(col, "en")
+    sw_ok = F.when(sw > 0.5, F.lit(0.5)).otherwise(
+        F.least(sw * 4, F.lit(1.0))
+    )
+    return (length_ok * 0.4 + punct_pen * 0.2 + upper_pen * 0.2 + sw_ok * 0.2).alias(
+        "quality"
+    )
+
+
+def detect_language(col: Column, langs: list[str] | None = None) -> Column:
+    """Argmax of stopword-overlap counts across language profiles.
+
+    ``array_intersect`` against broadcast literal arrays — one pass per
+    language over the word array, all JVM-side; ties and no-hit rows
+    yield 'und' (undetermined)."""
+    langs = langs or list(STOPWORDS)
+    ws = words(col)
+    scores = {
+        lg: F.size(
+            F.array_intersect(
+                F.array_distinct(ws), F.array(*[F.lit(w) for w in STOPWORDS[lg]])
+            )
+        )
+        for lg in langs
+    }
+    best = F.greatest(*scores.values()) if len(scores) > 1 else list(scores.values())[0]
+    out = F.lit("und")
+    for lg in reversed(langs):  # earlier langs win ties
+        out = F.when(scores[lg] == best, F.lit(lg)).otherwise(out)
+    return F.when(best > 0, out).otherwise(F.lit("und"))
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def fingerprint(col: Column) -> Column:
+    """Whole-document fingerprint: 64-bit hash of normalized content."""
+    return F.xxhash64(normalized_text(col))
+
+
+def winnowing_fingerprints(col: Column, k: int = 7, window: int = 4) -> Column:
+    """Winnowing (local-minima selection over k-gram hashes).
+
+    Standard document-fingerprinting scheme: hash all k-grams, then in
+    each sliding window of ``window`` hashes keep the minimum; the
+    distinct minima form the fingerprint set.  Pure Column expressions:
+    transform + slice + array_min."""
+    s = normalized_text(col)
+    n_grams = F.greatest(F.length(s) - (k - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1)))
+    gram_hashes = F.when(n_grams > 0, F.transform(idx, lambda i: F.xxhash64(s.substr(i, F.lit(k))))).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    n_windows = F.greatest(F.size(gram_hashes) - (window - 1), F.lit(1))
+    widx = F.sequence(F.lit(1), n_windows)
+    minima = F.transform(
+        widx, lambda i: F.array_min(F.slice(gram_hashes, i, window))
+    )
+    return F.array_distinct(F.when(F.size(gram_hashes) > 0, minima).otherwise(F.array().cast("array<bigint>")))
+
+
+def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One pass computing the full per-document text profile."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(c).alias("n_tokens"),
+        regex_token_count(c).alias("n_regex_tokens"),
+        F.length(c).alias("n_chars"),
+        stopword_ratio(c).alias("stopword_ratio"),
+        punctuation_ratio(c).alias("punct_ratio"),
+        uppercase_ratio(c).alias("upper_ratio"),
+        quality_score(c).alias("quality"),
+        detect_language(c).alias("detected_lang"),
+        fingerprint(c).alias("fingerprint"),
+    )

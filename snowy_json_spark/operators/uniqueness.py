@@ -1,0 +1,94 @@
+"""Table-scope uniqueness checks.
+
+Snow's `uniqueItems` (`keywords/UniqueItems.java:65-68`) lifted from
+array scope to table scope (north rule: "uniqueness via salted
+repartition + groupBy on url").
+
+Scale design:
+- The natural plan ``groupBy(key).count().filter(count > 1)`` is one
+  hash-partial-aggregated shuffle: each map task emits one row per
+  distinct key it saw, so shuffle volume is bounded by distinct keys,
+  not input rows.  AQE's skew handling re-splits oversized reduce
+  partitions at runtime.
+- For *pathologically* hot keys (a single key with billions of
+  duplicates — shuffle-partition-breaking) the salted two-stage variant
+  pre-aggregates per (key, salt) so no reducer ever sees more than
+  ~1/S of a hot key's rows.  The salt is deterministic
+  (``pmod(xxhash64(...), S)``) — no ``rand()``, so retried tasks
+  produce identical output (required for resumability / determinism).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def duplicate_keys(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Keys appearing more than once: (keys..., dup_count).
+
+    Partial aggregation bounds the shuffle at one row per distinct key
+    per map task."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def duplicate_keys_salted(
+    df: DataFrame, keys: list[str], salt_buckets: int = 64
+) -> DataFrame:
+    """Two-stage salted variant for hot-key-skewed key columns.
+
+    Stage 1 aggregates per (key, deterministic salt) — at most
+    ``salt_buckets`` rows per key reach stage 2 regardless of how hot
+    the key is.  Stage 2 sums the partial counts.  Identical output to
+    :func:`duplicate_keys`."""
+    salt = F.pmod(
+        F.xxhash64(F.monotonically_increasing_id(), *[F.col(k) for k in keys]),
+        F.lit(salt_buckets),
+    ).alias("_salt")
+    partial = (
+        df.select(*keys, salt)
+        .groupBy(*keys, "_salt")
+        .agg(F.count(F.lit(1)).alias("_partial"))
+    )
+    return (
+        partial.groupBy(*keys)
+        .agg(F.sum("_partial").alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def uniqueness_violations(df: DataFrame, keys: list[str], constraint_id: str) -> DataFrame:
+    """Violation rows in the engine's standard shape: one row per
+    duplicated key value."""
+    dups = duplicate_keys(df, keys)
+    key_repr = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+    return dups.select(
+        *keys,
+        F.lit(constraint_id).alias("constraint_id"),
+        F.lit("/" + ",".join(keys)).alias("instance_path"),
+        F.concat(key_repr, F.lit(" x"), F.col("dup_count").cast("string")).alias(
+            "observed_value"
+        ),
+    )
+
+
+def distinct_rate(df: DataFrame, keys: list[str], exact: bool = False) -> DataFrame:
+    """distinct/total ratio — quick uniqueness health metric.
+
+    HLL-approximate by default (constant memory at any scale)."""
+    key_cols = [F.col(k) for k in keys]
+    distinct = (
+        F.count_distinct(*key_cols) if exact else F.approx_count_distinct(F.concat_ws("", *key_cols))
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        distinct.alias("distinct_keys"),
+    ).select(
+        "total_rows",
+        "distinct_keys",
+        (F.col("distinct_keys") / F.col("total_rows")).alias("distinct_rate"),
+    )

@@ -1,0 +1,118 @@
+"""Dedup operator tests: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding cosine."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowy_json_spark.operators.dedup import (
+    exact_dedup,
+    exact_duplicate_groups,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_near_duplicates,
+    minhash_signatures,
+    simhash_near_duplicates,
+    simhash_signatures,
+)
+from snowy_json_spark.operators.similarity import cosine_near_duplicates
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "The quick  brown fox jumps over the lazy dog "),  # normalized dup
+    (4, "the quick brown fox leaps over the lazy dog"),  # near dup
+    (5, "completely different content about spark dataframes and shuffles"),
+    (6, "another unrelated text mentioning parquet files and partitions"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_exact_duplicate_groups(spark, docs):
+    groups = exact_duplicate_groups(docs, "doc_id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == [1, 2, 3]  # normalization folds 3 in
+
+
+def test_exact_dedup_keeps_min_id(spark, docs):
+    kept = {r["doc_id"] for r in exact_dedup(docs, "doc_id", "text").collect()}
+    assert kept == {1, 4, 5, 6}
+
+
+def test_minhash_signatures_shape(spark, docs):
+    sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=64).collect()
+    assert len(sigs) == 6
+    assert all(len(r["minhash"]) == 64 for r in sigs)
+    by_id = {r["doc_id"]: r["minhash"] for r in sigs}
+    assert by_id[1] == by_id[2]  # identical text → identical signature
+
+
+def test_minhash_near_duplicates(spark, docs):
+    nd = minhash_near_duplicates(
+        docs, "doc_id", "text", threshold=0.5, n_hashes=64, n_bands=16
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in nd}
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    assert (1, 4) in pairs  # near-dup caught
+    assert all({a, b} <= {1, 2, 3, 4} for a, b in pairs)  # 5,6 unrelated
+
+
+def test_jaccard_exact(spark, docs):
+    jp = jaccard_pairs(docs, "doc_id", "text", shingle_k=5, min_jaccard=0.4)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jp.collect()}
+    assert got[(1, 2)] == pytest.approx(1.0)
+    assert got[(1, 3)] == pytest.approx(1.0)  # normalization
+    assert 0.5 < got[(1, 4)] < 1.0
+    assert (1, 5) not in got
+
+
+def test_minhash_estimates_track_exact_jaccard(spark, docs):
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, "doc_id", "text", min_jaccard=0.3).collect()
+    }
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_near_duplicates(
+            docs, "doc_id", "text", threshold=0.0, n_hashes=128
+        ).collect()
+    }
+    for pair, j in exact.items():
+        if pair in est:
+            assert est[pair] == pytest.approx(j, abs=0.15)
+
+
+def test_simhash(spark, docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs, "doc_id", "text").collect()}
+    assert sigs[1] == sigs[2] == sigs[3]
+    nd = simhash_near_duplicates(docs, "doc_id", "text", max_hamming=8).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in nd}
+    assert (1, 2) in pairs
+    assert (1, 4) in pairs  # one-word change → small hamming distance
+    assert not any(5 in p or 6 in p for p in pairs if p != (5, 6))
+
+
+def test_cosine_near_duplicates(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.05, 0.0, 0.0]),  # near 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    nd = cosine_near_duplicates(df, "vec_id", "embedding", threshold=0.95, dim=4)
+    pairs = {(r["id_a"], r["id_b"]) for r in nd.collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_lsh_shuffle_is_banded(spark, docs):
+    # structural check: candidate generation never materializes the full
+    # cross product — bucket rows are rows×bands
+    sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=64)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", n_bands=16, rows_per_band=4)
+    assert pairs.count() <= 15  # ≤ C(6,2), and only colliding pairs

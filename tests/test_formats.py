@@ -1,0 +1,146 @@
+"""Operator goldens for §2.2 format sub-validators.
+
+Edge cases from FIXTURES.md: Feb-29 leap-year (`Format.java:282-299`),
+leap second `:60` (`Format.java:57`), uri vs uri-reference absoluteness
+(`Format.java:349-359`).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from snowy_json_spark.plans.compiler import compile_spec
+from snowy_json_spark.plans.report import with_verdict
+
+CASES = {
+    "date": [
+        ("2024-02-29", True),  # leap year
+        ("2023-02-29", False),  # not a leap year
+        ("2024-04-31", False),  # April has 30 days
+        ("2024-12-01", True),
+        ("2024-13-01", False),
+        ("24-12-01", False),
+    ],
+    "date-time": [
+        ("2024-02-29T12:00:00Z", True),
+        ("2024-02-29T23:59:60Z", True),  # leap second
+        ("2023-02-29T12:00:00Z", False),
+        ("2024-02-28T24:00:00Z", False),  # hour 24
+        ("2024-02-28T12:00:00+05:30", True),
+        ("2024-02-28 12:00:00Z", False),  # space separator
+    ],
+    "time": [
+        ("23:59:60Z", True),
+        ("12:34:56.789+01:00", True),
+        ("12:34:56", False),  # missing offset
+        ("25:00:00Z", False),
+    ],
+    "duration": [
+        ("P1Y2M3DT4H5M6S", True),
+        ("PT1S", True),
+        ("P3W", True),
+        ("P", False),
+        ("PT", False),
+        ("1Y", False),
+    ],
+    "email": [
+        ("a@b.com", True),
+        ("a.b@c.d.com", True),
+        (".a@b.com", False),
+        ("a..b@c.com", False),
+        ("a@", False),
+    ],
+    "hostname": [
+        ("example.com", True),
+        ("a-b.example", True),
+        ("-bad.com", False),
+        ("bad-.com", False),
+        ("a" * 64 + ".com", False),  # label too long
+    ],
+    "ipv4": [
+        ("1.2.3.4", True),
+        ("255.255.255.255", True),
+        ("256.1.1.1", False),
+        ("1.2.3", False),
+    ],
+    "ipv6": [
+        ("::1", True),
+        ("2001:db8::8a2e:370:7334", True),
+        ("1.2.3.4", False),
+        ("::g", False),
+    ],
+    "uri": [
+        ("https://example.com/a?q=1#f", True),
+        ("mailto:a@b.com", True),
+        ("/relative/only", False),  # not absolute
+        ("http://exa mple.com", False),
+    ],
+    "uri-reference": [
+        ("/relative/only", True),
+        ("https://example.com", True),
+        ("a b", False),
+    ],
+    "uuid": [
+        ("123e4567-e89b-12d3-a456-426614174000", True),
+        ("123e4567e89b12d3a456426614174000", False),
+    ],
+    "uri-template": [
+        ("http://example.com/{id}", True),
+        ("http://example.com/{id", False),
+        ("{/path*}{?q,n}", True),
+        ("{=bad}", False),
+    ],
+    "json-pointer": [
+        ("/a/b~1c/0", True),
+        ("", True),
+        ("a/b", False),
+        ("/a~2b", False),
+    ],
+    "relative-json-pointer": [
+        ("0", True),
+        ("1/a", True),
+        ("0#", True),
+        ("01", False),
+        ("/a", False),
+    ],
+    "regex": [
+        ("^a+b$", True),
+        ("(unclosed", False),
+    ],
+    "idn-hostname": [
+        ("example.com", True),
+        ("bücher.example", True),
+        ("-bad.example", False),
+    ],
+}
+
+
+@pytest.mark.parametrize("fmt", sorted(CASES))
+def test_format(spark, fmt):
+    values = CASES[fmt]
+    df = spark.createDataFrame([(v,) for v, _ in values], "s string")
+    plan = compile_spec({"properties": {"s": {"format": fmt}}}, df.schema)
+    got = [r["passed"] for r in with_verdict(df, plan).collect()]
+    want = [ok for _, ok in values]
+    assert got == want, f"{fmt}: {list(zip([v for v, _ in values], got, want))}"
+
+
+def test_unknown_format_passes(spark):
+    df = spark.createDataFrame([("anything",)], "s string")
+    plan = compile_spec({"properties": {"s": {"format": "no-such-format"}}}, df.schema)
+    assert with_verdict(df, plan).collect()[0]["passed"] is True
+    assert plan.leaves == []
+
+
+def test_content_encoding_and_media_type(spark):
+    df = spark.createDataFrame(
+        [("eyJhIjogMX0=",), ("not base64!!",)], "s string"
+    )  # first decodes to {"a": 1}
+    spec = {
+        "properties": {
+            "s": {"contentEncoding": "base64", "contentMediaType": "application/json"}
+        }
+    }
+    plan = compile_spec(spec, df.schema)
+    got = [r["passed"] for r in with_verdict(df, plan).collect()]
+    assert got == [True, False]
