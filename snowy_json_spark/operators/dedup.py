@@ -30,6 +30,19 @@ from pyspark.sql.types import ArrayType, LongType
 _MERSENNE = (1 << 61) - 1
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition inputs that arrive with too few partitions
+    (e.g. one small parquet file) before heavy per-row compute.
+
+    A 10^12-row table already has thousands of splits — this is a no-op
+    there (the check reads only plan metadata, no data)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -90,8 +103,20 @@ def shingles(col: Column, k: int = 5, mode: str = "char") -> Column:
 
 def shingle_hashes(col: Column, k: int = 5, mode: str = "char") -> Column:
     """JVM-side 64-bit hash per shingle — the only per-token work; all
-    minhash arithmetic below happens on these longs in numpy."""
-    return F.transform(shingles(col, k, mode), lambda s: F.xxhash64(s))
+    minhash arithmetic below happens on these longs in numpy.
+
+    No ``array_distinct``: duplicate shingles cannot change a minimum,
+    so minhash over the multiset equals minhash over the set."""
+    if mode == "char":
+        s = normalized_text(col)
+        idx = F.sequence(F.lit(1), F.greatest(F.length(s) - (k - 1), F.lit(1)))
+        return F.transform(idx, lambda i: F.xxhash64(s.substr(i, F.lit(k))))
+    words = F.split(normalized_text(col), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, k)))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -107,20 +132,27 @@ def _minhash_params(n_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarr
 
 
 def minhash_signature_udf(n_hashes: int = 128, seed: int = 42):
-    a, b = _minhash_params(n_hashes, seed)
-    a_ = a.astype(object)  # python ints: exact modular arithmetic, no overflow
-    b_ = b.astype(object)
+    """sig_i = min_j (a_i * h_j + b_i) mod p, p = 2^61-1.
+
+    All-uint64 numpy: shingle hashes are folded to 32 bits so the
+    product a_i (<2^32) * h_j (<2^32) stays below 2^64; reducing mod p
+    before adding b_i (<2^61) keeps the sum below 2^62 — no Python-int
+    fallback, ~100× faster than object-dtype arithmetic."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, 1 << 32, size=n_hashes, dtype=np.uint64)[:, None]
+    b = rng.randint(0, _MERSENNE, size=n_hashes, dtype=np.uint64)[:, None]
+    p = np.uint64(_MERSENNE)
+    empty = np.full(n_hashes, _MERSENNE - 1, dtype=np.int64).tolist()
 
     def batch(hash_arrays: pd.Series) -> pd.Series:
         out = []
         for arr in hash_arrays:
             if arr is None or len(arr) == 0:
-                out.append(np.full(n_hashes, _MERSENNE, dtype=np.int64).tolist())
+                out.append(empty)
                 continue
-            h = np.asarray(arr, dtype=np.int64).astype(object) & ((1 << 61) - 1)
-            # sig_i = min_j (a_i * h_j + b_i) mod p   (universal hashing)
-            m = (a_[:, None] * h[None, :] + b_[:, None]) % _MERSENNE
-            out.append(np.array(m.min(axis=1), dtype=np.int64).tolist())
+            h = (np.asarray(arr, dtype=np.int64).view(np.uint64) & np.uint64(0xFFFFFFFF))[None, :]
+            m = ((a * h) % p + b) % p
+            out.append(m.min(axis=1).astype(np.int64).tolist())
         return pd.Series(out)
 
     return F.pandas_udf(batch, ArrayType(LongType()))
@@ -136,7 +168,7 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     udf = minhash_signature_udf(n_hashes, seed)
-    return df.select(
+    return ensure_parallelism(df).select(
         F.col(id_col),
         udf(shingle_hashes(F.col(text_col), shingle_k, mode)).alias("minhash"),
     )
@@ -326,7 +358,9 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.split(normalized_text(F.col(text_col)), " "), lambda w: w != ""
     )
     hashes = F.transform(words, lambda w: F.xxhash64(w))
-    return df.select(F.col(id_col), simhash64_udf()(hashes).alias("simhash"))
+    return ensure_parallelism(df).select(
+        F.col(id_col), simhash64_udf()(hashes).alias("simhash")
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -26,28 +26,32 @@ from .compiler import Compiled
 VIOLATION_COLUMNS = ["constraint_id", "instance_path", "observed_value"]
 
 
+_VIOLATION_STRUCT = "array<struct<constraint_id:string,instance_path:string,observed_value:string>>"
+
+
 def checks_array(plan: Compiled) -> Column:
-    """Array of violation structs for the failed leaves only."""
+    """Array of violation structs for the failed leaves only.
+
+    Built as a concat of per-leaf conditional 0/1-element arrays: the
+    struct (and its observed-value string) is only *constructed* when
+    that leaf failed — on the common all-pass row this allocates
+    nothing, which keeps GC flat on wide specs over large tables."""
     if not plan.leaves:
-        return F.array().cast("array<struct<constraint_id:string,instance_path:string,observed_value:string>>")
-    structs = [
-        F.struct(
-            F.lit(leaf.constraint_id).alias("constraint_id"),
-            F.lit(leaf.instance_path).alias("instance_path"),
-            F.coalesce(leaf.observed, F.lit("null")).alias("observed_value"),
-            F.coalesce(leaf.failed, F.lit(False)).alias("failed"),
-        )
+        return F.array().cast(_VIOLATION_STRUCT)
+    parts = [
+        F.when(
+            F.coalesce(leaf.failed, F.lit(False)),
+            F.array(
+                F.struct(
+                    F.lit(leaf.constraint_id).alias("constraint_id"),
+                    F.lit(leaf.instance_path).alias("instance_path"),
+                    F.coalesce(leaf.observed, F.lit("null")).alias("observed_value"),
+                )
+            ),
+        ).otherwise(F.array().cast(_VIOLATION_STRUCT))
         for leaf in plan.leaves
     ]
-    arr = F.filter(F.array(*structs), lambda x: x["failed"])
-    return F.transform(
-        arr,
-        lambda x: F.struct(
-            x["constraint_id"].alias("constraint_id"),
-            x["instance_path"].alias("instance_path"),
-            x["observed_value"].alias("observed_value"),
-        ),
-    )
+    return F.concat(*parts) if len(parts) > 1 else parts[0]
 
 
 def with_verdict(df: DataFrame, plan: Compiled, name: str = "passed") -> DataFrame:
