@@ -306,6 +306,37 @@ def _q_detected_lang_documents(spark, sf_dir):
     )
 
 
+def _q_json_field_sum_events(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("event_type")
+    )
+
+
+def _q_value_quantiles_events(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    q = F.percentile(F.col("value"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return ev.agg(
+        F.round(q.getItem(0), 6).alias("p25"),
+        F.round(q.getItem(1), 6).alias("p50"),
+        F.round(q.getItem(2), 6).alias("p75"),
+    )
+
+
+def _q_embedding_norm_stats(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    return emb.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg(norm), 6).alias("avg_norm"),
+        F.round(F.max(norm), 6).alias("max_norm"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_validation_documents": _q_row_validation_documents,
@@ -322,19 +353,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "punct_chars_by_source": _q_punct_chars_by_source,
         "word_jaccard_pairs": _q_word_jaccard_pairs,
         "ann_topk_embeddings": _q_ann_topk_embeddings,
+        "detected_lang_documents": _q_detected_lang_documents,
+        "json_field_sum_events": _q_json_field_sum_events,
+        "value_quantiles_events": _q_value_quantiles_events,
+        "embedding_norm_stats": _q_embedding_norm_stats,
         # rows-only (LSH / pandas-UDF paths; no SQL equivalent)
         "minhash_near_dups_documents": _q_minhash_near_dups_documents,
         "simhash_near_dups_documents": _q_simhash_near_dups_documents,
         "lsh_topk_embeddings": _q_lsh_topk_embeddings,
-        "detected_lang_documents": _q_detected_lang_documents,
     }
 
 
 _NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_WORDS = f"list_filter(string_split({_NORM}, ' '), x -> x <> '')"
+
+
+def _lang_id_sql() -> str:
+    """Generated from the SAME stopword profiles the Spark operator uses
+    (operators/text.py STOPWORDS), so the two sides cannot drift."""
+    from snowy_json_spark.operators.text import STOPWORDS
+
+    score_cols = []
+    for lg, words in STOPWORDS.items():
+        lit = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        score_cols.append(f"len(list_intersect({_WORDS}, {lit})) AS s_{lg}")
+    langs = list(STOPWORDS)
+    best = "GREATEST(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s_{lg} = {best} THEN '{lg}'" for lg in langs
+    ) + " END"
+    return f"""
+        SELECT detected, COUNT(*) AS n FROM (
+          SELECT CASE WHEN {best} > 0 THEN {case} ELSE 'und' END AS detected
+          FROM (SELECT {", ".join(score_cols)} FROM documents)
+        ) GROUP BY detected ORDER BY detected
+    """
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "detected_lang_documents": _lang_id_sql(),
+        "json_field_sum_events": """
+            SELECT event_type,
+                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   COUNT(*) AS n_rows
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "value_quantiles_events": """
+            SELECT ROUND(quantile_cont(CAST(value AS DOUBLE), 0.25), 6) AS p25,
+                   ROUND(quantile_cont(CAST(value AS DOUBLE), 0.50), 6) AS p50,
+                   ROUND(quantile_cont(CAST(value AS DOUBLE), 0.75), 6) AS p75
+            FROM events
+        """,
+        "embedding_norm_stats": """
+            SELECT COUNT(*) AS n_rows,
+                   ROUND(AVG(norm), 6) AS avg_norm,
+                   ROUND(MAX(norm), 6) AS max_norm
+            FROM (SELECT sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                      x -> x * x))) AS norm
+                  FROM embeddings)
+        """,
         "row_validation_documents": f"""
             SELECT lang, COUNT(*) AS n_rows,
                    SUM(CASE WHEN {_PASS_SQL} THEN 1 ELSE 0 END) AS n_passed

@@ -247,6 +247,42 @@ class ValidationEngine:
         )
 
     # ------------------------------------------------------------------
+    def write_results(self, res: ValidationResult, out_dir: str) -> None:
+        """Write verdicts/violations/metrics as parquet tables with
+        byte-stable ordering (SURVEY.md §7 hard part d): every output is
+        range-sorted on its natural key before write, so two runs over
+        identical inputs produce identical files — the property the
+        resume test and the oracle byte-comparison rely on."""
+        import json as _json
+        import os as _os
+
+        from .sources.tables import write_table
+
+        v_keys = (self.partition_cols or []) + ["passed"]
+        write_table(res.verdicts.orderBy(*v_keys), f"{out_dir}/verdicts")
+        write_table(
+            res.violations.orderBy(*self.id_cols, "constraint_id", "instance_path"),
+            f"{out_dir}/violations",
+        )
+        if res.table_violations is not None:
+            write_table(
+                res.table_violations.orderBy("constraint_id", "observed_value"),
+                f"{out_dir}/table_violations",
+            )
+        _os.makedirs(out_dir, exist_ok=True)
+        with open(f"{out_dir}/metrics.json", "w") as f:
+            _json.dump(
+                {
+                    "stats": {k: str(v) for k, v in sorted(res.stats.items())},
+                    "drift": res.drift,
+                    "skipped_partitions": res.skipped_partitions,
+                },
+                f,
+                indent=2,
+                sort_keys=True,
+            )
+
+    # ------------------------------------------------------------------
     def _verdict_schema(self, df: DataFrame):
         cols = self.partition_cols or ["_all"]
         base = [

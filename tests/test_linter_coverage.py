@@ -1,0 +1,94 @@
+"""Linter + coverage tests (SURVEY.md §3.3)."""
+
+from __future__ import annotations
+
+from snowy_json_spark.operators.coverage import (
+    coverage_report,
+    unexercised_constraints,
+)
+from snowy_json_spark.plans.compiler import compile_spec
+from snowy_json_spark.plans.report import violations
+from snowy_json_spark.spec.linter import errors, lint
+
+
+def _msgs(diags):
+    return [f"{d.path}:{d.message}" for d in diags]
+
+
+def test_lint_contradictory_bounds():
+    diags = lint({"properties": {"x": {"minimum": 10, "maximum": 5}}})
+    assert any("unsatisfiable" in d.message for d in diags)
+    assert errors({"properties": {"x": {"minimum": 10, "maximum": 5}}})
+
+
+def test_lint_wrong_types():
+    diags = lint(
+        {
+            "properties": {
+                "a": {"maximum": "high"},
+                "b": {"minLength": -1},
+                "c": {"enum": []},
+                "d": {"type": "strnig"},
+                "e": {"required": ["x", "x"]},
+            }
+        }
+    )
+    m = " ".join(_msgs(diags))
+    assert "must be a number" in m
+    assert "non-negative integer" in m
+    assert "non-empty array" in m
+    assert "unknown type name 'strnig'" in m
+    assert "duplicate names" in m
+
+
+def test_lint_structural_warnings():
+    diags = lint(
+        {
+            "properties": {
+                "a": {"then": {"minimum": 0}},
+                "b": {"maxContains": 3},
+                "c": {"additionalItems": {"minimum": 0}},
+            }
+        }
+    )
+    m = " ".join(_msgs(diags))
+    assert "then/else without if" in m
+    assert "without contains" in m
+    assert "without array-form items" in m
+    assert not errors(
+        {"properties": {"a": {"then": {"minimum": 0}}}}
+    )  # warnings, not errors
+
+
+def test_lint_bad_regex_and_format():
+    diags = lint({"properties": {"s": {"pattern": "(unclosed", "format": "emial"}}})
+    m = " ".join(_msgs(diags))
+    assert "does not compile" in m
+    assert "unknown format 'emial'" in m
+
+
+def test_lint_clean_spec():
+    spec = {
+        "required": ["url"],
+        "properties": {
+            "url": {"type": "string", "pattern": "^https://", "maxLength": 2048},
+            "xs": {"items": {"minimum": 0}, "maxItems": 10},
+        },
+    }
+    assert lint(spec) == []
+
+
+def test_coverage_report(spark):
+    spec = {
+        "required": ["a"],
+        "properties": {"a": {"minimum": 0}, "b": {"maxLength": 2}},
+    }
+    df = spark.createDataFrame([(-1.0, "x"), (2.0, "y")], "a double, b string")
+    plan = compile_spec(spec, df.schema)
+    v = violations(df, plan, [])
+    rep = {r["constraint_id"]: r["n_violations"] for r in coverage_report(spark, plan, v).collect()}
+    assert rep["#/properties/a/minimum"] == 1
+    assert rep["#/required"] == 0
+    assert rep["#/properties/b/maxLength"] == 0
+    unex = unexercised_constraints(spark, plan, v)
+    assert "#/required" in unex and "#/properties/a/minimum" not in unex
