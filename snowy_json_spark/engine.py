@@ -37,7 +37,9 @@ from .operators.drift import (
     DriftThresholds,
     HistogramSpec,
     collect_histogram,
+    collect_quantiles,
     drift_verdicts,
+    quantile_drift_verdict,
 )
 from .operators.referential import referential_violations
 from .operators.stats import ColumnStatsSpec, column_stats, stats_violations
@@ -160,6 +162,18 @@ class ValidationEngine:
                 for v in drift_verdicts(cur, snap, th):
                     v["check_id"] = chk.get("id")
                     drift_out.append(v)
+            elif kind == "quantile_drift":
+                expr = chk.get("expr")
+                src = df.withColumn(chk["column"], F.expr(expr)) if expr else df
+                probs = chk.get("probs", [0.25, 0.5, 0.75, 0.9, 0.99])
+                cur_q = collect_quantiles(src, chk["column"], probs)
+                snap_q = (snapshot or {}).get(chk.get("id"), cur_q)
+                v = quantile_drift_verdict(
+                    cur_q, snap_q, chk.get("rel_tolerance", 0.1)
+                )
+                v["check_id"] = chk.get("id")
+                v["quantiles"] = cur_q
+                drift_out.append(v)
             else:
                 raise SpecError(f"unknown table check kind: {kind!r}")
 
@@ -245,6 +259,41 @@ class ValidationEngine:
             stats=stats_out,
             skipped_partitions=skipped,
         )
+
+    # ------------------------------------------------------------------
+    def collect_snapshot(self, df: DataFrame) -> dict:
+        """Materialize the drift baselines from a reference run: per
+        drift check the current histogram (or quantile sketch values) —
+        the 'pages_snapshot_stats' artifact of FIXTURES.md §1.  Tiny
+        (KBs), JSON-serializable, broadcastable."""
+        snap: dict = {}
+        for chk in self.table_checks:
+            kind = chk.get("kind")
+            expr = chk.get("expr")
+            src = df.withColumn(chk["column"], F.expr(expr)) if expr else df
+            if kind == "drift":
+                hspec = HistogramSpec(
+                    chk["column"], chk["lo"], chk["hi"], chk.get("buckets", 20)
+                )
+                snap[chk["id"]] = collect_histogram(src, hspec, chk.get("group_by"))
+            elif kind == "quantile_drift":
+                probs = chk.get("probs", [0.25, 0.5, 0.75, 0.9, 0.99])
+                snap[chk["id"]] = collect_quantiles(src, chk["column"], probs)
+        return snap
+
+    @staticmethod
+    def save_snapshot(snapshot: dict, path: str) -> None:
+        import json as _json
+
+        with open(path, "w") as f:
+            _json.dump(snapshot, f, sort_keys=True)
+
+    @staticmethod
+    def load_snapshot(path: str) -> dict:
+        import json as _json
+
+        with open(path) as f:
+            return _json.load(f)
 
     # ------------------------------------------------------------------
     def write_results(self, res: ValidationResult, out_dir: str) -> None:

@@ -147,6 +147,41 @@ def drift_verdicts(
     return out
 
 
+def quantile_drift_verdict(
+    current: dict[str, float],
+    snapshot: dict[str, float],
+    rel_tolerance: float = 0.1,
+) -> dict:
+    """Compare per-probability quantile values with a relative tolerance.
+
+    Quantile sketches (GK via ``percentile_approx``) are the compact,
+    mergeable snapshot form for heavy-tailed columns where fixed-bucket
+    histograms lose the tail."""
+    worst = 0.0
+    worst_p = None
+    for p, snap_v in snapshot.items():
+        cur_v = current.get(p)
+        if cur_v is None:
+            continue
+        denom = max(abs(snap_v), 1e-12)
+        rel = abs(cur_v - snap_v) / denom
+        if rel > worst:
+            worst, worst_p = rel, p
+    return {
+        "max_rel_diff": worst,
+        "at_quantile": worst_p,
+        "status": "fail" if worst > rel_tolerance else "pass",
+    }
+
+
+def collect_quantiles(
+    df: DataFrame, column: str, probs: list[float], accuracy: int = 10000
+) -> dict[str, float]:
+    row = quantiles(df.filter(F.col(column).isNotNull()), column, probs, accuracy).collect()[0]
+    vals = row["quantiles"] or []
+    return {str(p): float(v) for p, v in zip(probs, vals)}
+
+
 def collect_histogram(
     df: DataFrame, spec: HistogramSpec, group_col: str | None = None
 ) -> dict[str, list[float]]:

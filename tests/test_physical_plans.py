@@ -1,0 +1,94 @@
+"""Physical-plan regression tests: the plans we want, not just plans
+that pass (SURVEY.md §4).
+
+Asserts on `.explain("formatted")` output:
+- column pruning: scans read only referenced columns (html/binary never
+  decoded for row checks);
+- filter pushdown reaches the parquet scan (PushedFilters);
+- referential checks are broadcast anti-joins, not shuffles;
+- aggregations are partial (map-side combine) — HashAggregate before
+  the Exchange and again after.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowy_json_spark.operators.referential import anti_join_violations
+from snowy_json_spark.operators.uniqueness import duplicate_keys
+from snowy_json_spark.plans.compiler import compile_spec
+from snowy_json_spark.plans.report import partition_verdicts, violations
+from snowy_json_spark.sources.pages import generate_pages, lang_ref, with_partition_cols
+
+SPEC = {
+    "required": ["url", "warc_ts", "lang"],
+    "properties": {
+        "url": {"type": "string", "pattern": "^https://", "maxLength": 2048},
+        "lang": {"type": "string", "pattern": "^[a-z]{2}$"},
+        "text": {"type": ["string", "null"], "minLength": 1},
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def pages_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "pages")
+    with_partition_cols(generate_pages(spark, 2000, 4), 4).write.parquet(path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def pages(spark, pages_path):
+    return spark.read.parquet(pages_path)
+
+
+def explain(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def read_schema_lines(plan: str) -> list[str]:
+    return [line.strip() for line in plan.splitlines() if "ReadSchema" in line]
+
+
+def test_violations_scan_prunes_binary(spark, pages):
+    plan = compile_spec(SPEC, pages.schema)
+    p = explain(violations(pages, plan, ["url"]))
+    (schema_line,) = read_schema_lines(p)
+    assert "html" not in schema_line, f"binary column not pruned: {schema_line}"
+    assert "url_bucket" not in schema_line
+
+
+def test_verdicts_partial_aggregation(spark, pages):
+    plan = compile_spec(SPEC, pages.schema)
+    p = explain(partition_verdicts(pages, plan, ["lang", "url_bucket"]))
+    first_agg = p.find("HashAggregate")
+    exchange = p.find("Exchange")
+    last_agg = p.rfind("HashAggregate")
+    assert -1 < first_agg < exchange < last_agg, "no map-side partial aggregation"
+    (schema_line,) = read_schema_lines(p)
+    assert "html" not in schema_line
+
+
+def test_uniqueness_reads_only_keys(spark, pages):
+    p = explain(duplicate_keys(pages, ["url"]))
+    (schema_line,) = read_schema_lines(p)
+    assert "struct<url:string>" in schema_line, schema_line
+    assert p.find("HashAggregate") < p.find("Exchange") < p.rfind("HashAggregate")
+
+
+def test_referential_is_broadcast_anti_join(spark, pages):
+    p = explain(anti_join_violations(pages, "lang", lang_ref(spark), "lang"))
+    assert "BroadcastHashJoin LeftAnti" in p, "anti-join not broadcast"
+    assert "PushedFilters: [IsNotNull(lang)]" in p, "null filter not pushed to scan"
+
+
+def test_filter_pushdown_reaches_scan(spark, pages):
+    p = explain(pages.filter(F.col("lang") == "en").select("url"))
+    assert "EqualTo(lang,en)" in p, "predicate not pushed to parquet scan"
