@@ -99,6 +99,53 @@ class Options:
     spec_version: str = "2019-09"  # or "draft-07", "draft-06"
     assert_format: bool = True  # Format.java:248-259 gating
     assert_content: bool = True  # ContentEncoding Draft-07 + CONTENT option
+    max_recursion_depth: int = 16  # $recursiveRef unrolling cap
+
+
+def _detect_spec_version(spec: dict) -> str | None:
+    """Draft detection from $schema (Validator.specificationFromSchema,
+    `Validator.java:551-571`)."""
+    s = spec.get("$schema")
+    if not isinstance(s, str):
+        return None
+    if "2019-09" in s:
+        return "2019-09"
+    if "draft-07" in s:
+        return "draft-07"
+    if "draft-06" in s:
+        return "draft-06"
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Extension registries (SURVEY.md §2.11: Snow's extension point is "drop a
+# Keyword subclass in the package", ValidatorContext.java:192-232; ours is
+# "register a compile function")
+# ---------------------------------------------------------------------------
+
+#: custom keyword compilers: name -> fn(value, instance, path, compiler) -> Column
+CUSTOM_KEYWORDS: dict = {}
+
+
+def register_keyword(name: str, compile_fn) -> None:
+    """Register a custom keyword.
+
+    ``compile_fn(value, instance, path, compiler) -> Column`` must
+    return a null-safe boolean validity Column.  Escape-hatch checks
+    should build on ``pandas_udf('boolean')`` (Arrow-batched), never
+    row-wise Python UDFs."""
+    CUSTOM_KEYWORDS[name] = compile_fn
+
+
+def unregister_keyword(name: str) -> None:
+    CUSTOM_KEYWORDS.pop(name, None)
+
+
+def register_format(name: str, column_fn) -> None:
+    """Register a custom ``format`` validator: fn(col) -> boolean Column."""
+    from ..functions import formats as _formats
+
+    _formats.FORMATS[name] = column_fn
 
 
 class Instance:
@@ -216,7 +263,12 @@ class Compiler:
         self.spec = spec
         self.options = options or Options()
         self.anchors: dict[str, Any] = {}
+        self._rref_depth = 0
+        self._recursive_anchor_stack: list = []
         if isinstance(spec, dict):
+            detected = _detect_spec_version(spec)
+            if detected is not None:
+                self.options.spec_version = detected
             self._scan_anchors(spec)
 
     # ------------------------------------------------------------------
@@ -266,9 +318,13 @@ class Compiler:
         raise SpecError(f"external $ref not supported at compile time: {ref}")
 
     # ------------------------------------------------------------------
-    def compile_row(self, schema: StructType) -> Compiled:
+    def compile_row(self, schema: StructType, collect: bool = True) -> Compiled:
+        """collect=False is verdict-only mode: no violation leaves are
+        built at all (Snow's fail-fast no-collector path,
+        `ValidatorContext.java:470-472`) — the cheapest plan when only
+        pass/fail is needed."""
         inst = Instance(None, None, "", row_schema=schema)
-        return self._compile(self.spec, inst, "#", collect=True, ref_stack=())
+        return self._compile(self.spec, inst, "#", collect=collect, ref_stack=())
 
     def compile_column(self, name: str, dtype: DataType, spec: Any) -> Compiled:
         inst = Instance(F.col(name), dtype, f"/{name}")
@@ -316,6 +372,22 @@ class Compiler:
                 sub.valid & sibling.valid, sub.leaves + sibling.leaves
             )
 
+        # $recursiveAnchor: outermost anchored schema is the dynamic base
+        # (CoreRecursiveAnchor.java:42-59 / setRecursiveBaseURI); the
+        # static compile path is the dynamic scope here
+        pushed_anchor = False
+        if node.get("$recursiveAnchor") is True:
+            self._recursive_anchor_stack.append(node)
+            pushed_anchor = True
+        try:
+            return self._compile_object(node, inst, path, collect, ref_stack)
+        finally:
+            if pushed_anchor:
+                self._recursive_anchor_stack.pop()
+
+    def _compile_object(
+        self, node: dict, inst: Instance, path: str, collect: bool, ref_stack: tuple
+    ) -> Compiled:
         conds: list[Column] = []
         leaves: list[Leaf] = []
 
@@ -338,6 +410,10 @@ class Compiler:
 
         for kw, value in node.items():
             if kw in self._NON_ASSERTING or kw == "$ref":
+                continue
+            if kw in CUSTOM_KEYWORDS:
+                # extension registry (§2.11): user-supplied compile fn
+                add(kw, F.coalesce(CUSTOM_KEYWORDS[kw](value, inst, path, self), F.lit(True)))
                 continue
             handler = getattr(self, f"_kw_{kw.replace('$', 'dollar_')}", None)
             if handler is None:
@@ -1010,6 +1086,33 @@ class Compiler:
 
     # then/else are handled inside _kw_if (inner Applier keywords, If.java:40-53)
 
+    def _kw_dollar_recursiveRef(self, node, value, inst, path, add, sub, collect, leaves, conds):
+        """$recursiveRef "#" → re-apply the outermost $recursiveAnchor'd
+        schema (static approximation of the dynamic scope,
+        `CoreRecursiveRef.java:45-120`) with bounded unrolling.
+
+        On a statically-typed table the recursion terminates naturally
+        when nested StructTypes bottom out (applicators on absent
+        members vacuously pass); the depth cap guards open MapTypes."""
+        if value != "#":
+            raise SpecError(f"{path}/$recursiveRef must be '#'")
+        if self._rref_depth >= self.options.max_recursion_depth:
+            conds.append(F.lit(True))  # permissive cut-off past the cap
+            return
+        target = (
+            self._recursive_anchor_stack[0]
+            if self._recursive_anchor_stack
+            else self.spec
+        )
+        self._rref_depth += 1
+        try:
+            # fresh ref_stack: re-entering the anchor is recursion, not a cycle
+            c = self._compile(target, inst, f"{path}/$recursiveRef", collect, ())
+        finally:
+            self._rref_depth -= 1
+        conds.append(c.valid)
+        leaves.extend(c.leaves)
+
     # ==================================================================
     # §2.8 unevaluated* — static branch analysis
     # ==================================================================
@@ -1128,10 +1231,13 @@ class Compiler:
 
 
 def compile_spec(
-    spec: dict | bool, schema: StructType, options: Options | None = None
+    spec: dict | bool,
+    schema: StructType,
+    options: Options | None = None,
+    collect: bool = True,
 ) -> Compiled:
     """Compile a row-scope constraint spec against a table schema."""
-    return Compiler(spec, options).compile_row(schema)
+    return Compiler(spec, options).compile_row(schema, collect=collect)
 
 
 def spec_from_json(text: str) -> dict:

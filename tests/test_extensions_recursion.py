@@ -1,0 +1,120 @@
+"""Extension registry (§2.11), $schema draft detection, $recursiveRef
+bounded recursion, and verdict-only mode."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+from snowy_json_spark.plans.compiler import (
+    Compiler,
+    Options,
+    compile_spec,
+    register_format,
+    register_keyword,
+    unregister_keyword,
+)
+from snowy_json_spark.plans.report import violations, with_verdict
+
+
+def test_custom_keyword(spark):
+    def compile_even(value, inst, path, compiler):
+        if not value:
+            return F.lit(True)
+        return F.when(inst.col.isNotNull(), inst.col % 2 == 0).otherwise(True)
+
+    register_keyword("x-even", compile_even)
+    try:
+        spec = {"properties": {"n": {"x-even": True}}}
+        df = spark.createDataFrame([(2,), (3,), (None,)], "n long")
+        plan = compile_spec(spec, df.schema)
+        assert [r["passed"] for r in with_verdict(df, plan).collect()] == [True, False, True]
+        v = violations(df, plan, ["n"]).collect()
+        assert [(r["n"], r["constraint_id"]) for r in v] == [(3, "#/properties/n/x-even")]
+    finally:
+        unregister_keyword("x-even")
+
+
+def test_custom_format(spark):
+    register_format("even-length", lambda col: F.length(col) % 2 == 0)
+    spec = {"properties": {"s": {"format": "even-length"}}}
+    df = spark.createDataFrame([("ab",), ("abc",)], "s string")
+    plan = compile_spec(spec, df.schema)
+    assert [r["passed"] for r in with_verdict(df, plan).collect()] == [True, False]
+
+
+def test_schema_draft_detection_ref_siblings(spark):
+    # draft-07: siblings of $ref are IGNORED (ValidatorContext.java:1259-1264)
+    spec7 = {
+        "$schema": "http://json-schema.org/draft-07/schema#",
+        "$defs": {"pos": {"minimum": 0}},
+        "properties": {"x": {"$ref": "#/$defs/pos", "maximum": 5}},
+    }
+    df = spark.createDataFrame([(9.0,)], "x double")
+    plan = compile_spec(spec7, df.schema)
+    # maximum:5 ignored under draft-07 → 9.0 passes (only minimum applies)
+    assert with_verdict(df, plan).collect()[0]["passed"] is True
+
+    spec2019 = dict(spec7, **{"$schema": "https://json-schema.org/draft/2019-09/schema"})
+    plan2 = compile_spec(spec2019, df.schema)
+    assert with_verdict(df, plan2).collect()[0]["passed"] is False
+
+
+NESTED3 = StructType(
+    [
+        StructField("v", IntegerType()),
+        StructField(
+            "child",
+            StructType(
+                [
+                    StructField("v", IntegerType()),
+                    StructField(
+                        "child",
+                        StructType([StructField("v", IntegerType()), StructField("child", StringType())]),
+                    ),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def test_recursive_ref_nested_structs(spark):
+    # tree schema: every node's v >= 0, recursing into .child
+    spec = {
+        "$recursiveAnchor": True,
+        "properties": {
+            "v": {"minimum": 0},
+            "child": {"$recursiveRef": "#"},
+        },
+    }
+    rows = [
+        ((1, (2, (3, None))),),
+        ((1, (-2, (3, None))),),  # violation at depth 2
+        ((1, None),),
+    ]
+    schema = StructType([StructField("root", NESTED3)])
+    df = spark.createDataFrame(rows, schema)
+    wrapped = {"properties": {"root": spec}}
+    plan = compile_spec(wrapped, df.schema)
+    assert [r["passed"] for r in with_verdict(df, plan).collect()] == [True, False, True]
+
+
+def test_recursion_depth_cap(spark):
+    # open MapType would recurse forever without the cap
+    from pyspark.sql.types import MapType
+
+    spec = {"properties": {"m": {"$recursiveRef": "#"}}}
+    schema = StructType([StructField("m", MapType(StringType(), StringType()))])
+    df = spark.createDataFrame([({"a": "b"},)], schema)
+    plan = compile_spec(spec, df.schema, Options(max_recursion_depth=3))
+    assert with_verdict(df, plan).collect()[0]["passed"] is True  # permissive cap
+
+
+def test_verdict_only_mode(spark):
+    spec = {"required": ["a"], "properties": {"a": {"minimum": 0}}}
+    df = spark.createDataFrame([(1.0,), (-1.0,)], "a double")
+    plan = compile_spec(spec, df.schema, collect=False)
+    assert plan.leaves == []
+    assert [r["passed"] for r in with_verdict(df, plan).collect()] == [True, False]
