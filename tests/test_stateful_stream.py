@@ -1,0 +1,57 @@
+"""applyInPandasWithState: running per-key validation stats."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from snowy_json_spark.streaming.stateful import running_violation_stats
+
+SPEC = {"properties": {"lang": {"pattern": "^[a-z]{2}$"}}, "required": ["lang"]}
+
+
+def test_running_violation_stats(spark):
+    # every 5th row has an invalid lang; two keys (groups) by parity
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 300)
+        .load()
+        .select(
+            F.when(F.col("value") % 2 == 0, F.lit("even")).otherwise(F.lit("odd")).alias("grp"),
+            F.when(F.col("value") % 5 == 0, F.lit("ZZ")).otherwise(F.lit("en")).alias("lang"),
+        )
+    )
+    stats = running_violation_stats(stream, SPEC, "grp")
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("state_stream")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 90
+        snap1, snap2 = {}, {}
+        while time.monotonic() < deadline:
+            q.processAllAvailable()
+            rows = spark.sql(
+                "SELECT key, max(total) total, max(failed) failed FROM state_stream GROUP BY key"
+            ).collect()
+            cur = {r["key"]: (r["total"], r["failed"]) for r in rows}
+            if len(cur) == 2 and all(t > 50 for t, _ in cur.values()):
+                if not snap1:
+                    snap1 = cur
+                    time.sleep(2)
+                    continue
+                snap2 = cur
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert snap1 and snap2, "stateful stream never produced both keys"
+    # state accumulates across batches: totals grow monotonically
+    for k in snap1:
+        assert snap2[k][0] >= snap1[k][0]
+    # planted violation rate ≈ 1/5 (value%5==0), both parities affected
+    for k, (total, failed) in snap2.items():
+        assert 0.05 < failed / total < 0.4, (k, total, failed)
