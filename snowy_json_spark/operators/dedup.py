@@ -301,10 +301,11 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become candidate pairs.
 
-    Explodes to n_bands rows per doc keyed by (band, bucket-hash) —
-    the shuffle is linear in rows×bands; pairs materialize only inside
-    buckets (collect_list per bucket then pairwise explode), which is
-    the whole point of LSH."""
+    Explodes to n_bands rows per doc keyed by (band, bucket-hash), then
+    **self-joins** on (band, bucket) with ``id_a < id_b``.  The join is
+    the scale-safe plan: a hot bucket never has to fit in one
+    ``collect_list`` buffer, AQE's skew-join splitting applies, and the
+    whole pipeline stays in codegen.  Shuffle volume is rows×bands."""
     bands = F.array(
         *[
             F.struct(
@@ -317,28 +318,20 @@ def lsh_candidate_pairs(
         ]
     )
     exploded = sigs.select(F.col(id_col), F.explode(bands).alias("b")).select(
-        id_col, "b.band", "b.bucket"
+        F.col(id_col), F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
     )
-    grouped = (
-        exploded.groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .filter(F.size("ids") > 1)
+    a = exploded.select(
+        F.col(id_col).alias("id_a"), "band", "bucket"
     )
-    # pairwise within bucket, deduped across bands
-    pairs = grouped.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.id_a", "p.id_b").distinct()
-    return pairs
+    b = exploded.select(
+        F.col(id_col).alias("id_b"), "band", "bucket"
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
 
 
 def estimated_jaccard(
