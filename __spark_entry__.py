@@ -27,7 +27,10 @@ from snowy_json_spark.operators.drift import HistogramSpec, histogram
 from snowy_json_spark.operators.referential import anti_join_violations
 from snowy_json_spark.operators.similarity import (
     brute_force_topk,
+    ivf_topk,
     lsh_topk,
+    train_ivf_centroids,
+    with_ivf_cell,
     with_lsh_bucket,
 )
 from snowy_json_spark.operators.stats import ColumnStatsSpec, column_stats
@@ -296,6 +299,21 @@ def _q_lsh_topk_embeddings(spark, sf_dir):
     ).select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def _q_ivf_topk_embeddings(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    row = emb.filter(F.col("vec_id") == 0).first()
+    centroids = train_ivf_centroids(emb, "embedding", n_cells=8)
+    celled = with_ivf_cell(emb, "embedding", centroids)
+    return ivf_topk(
+        celled,
+        "embedding",
+        [float(x) for x in row["embedding"]],
+        centroids,
+        k=10,
+        n_probe=3,
+    ).select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
 def _q_detected_lang_documents(spark, sf_dir):
     df = _docs(spark, sf_dir)
     return (
@@ -361,6 +379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups_documents": _q_minhash_near_dups_documents,
         "simhash_near_dups_documents": _q_simhash_near_dups_documents,
         "lsh_topk_embeddings": _q_lsh_topk_embeddings,
+        "ivf_topk_embeddings": _q_ivf_topk_embeddings,
     }
 
 

@@ -146,6 +146,80 @@ def lsh_topk(
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + cell probing
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str,
+    n_cells: int = 16,
+    sample_fraction: float = 1.0,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train the coarse quantizer (k-means centroids) on a sample.
+
+    Uses pyspark.ml KMeans — distributed Lloyd iterations; at 10^12
+    rows you train on a small deterministic sample and broadcast the
+    centroids (a few KB) everywhere else."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sample = df if sample_fraction >= 1.0 else df.sample(sample_fraction, seed=seed)
+    feats = sample.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(feats)
+    return np.array([np.asarray(c) for c in model.clusterCenters()])
+
+
+def _nearest_cell_expr(vec_col: Column, centroids: np.ndarray) -> Column:
+    """argmin_c ||v - c||² = argmax_c (v·c - ||c||²/2) — pure Column
+    expressions over broadcast centroid literals (no UDF, no shuffle)."""
+    best_idx = F.lit(0)
+    best_score = dot(vec_col, _vec_lit(centroids[0].tolist())) - F.lit(
+        float(np.dot(centroids[0], centroids[0]) / 2)
+    )
+    for i in range(1, len(centroids)):
+        score = dot(vec_col, _vec_lit(centroids[i].tolist())) - F.lit(
+            float(np.dot(centroids[i], centroids[i]) / 2)
+        )
+        better = score > best_score
+        best_idx = F.when(better, F.lit(i)).otherwise(best_idx)
+        best_score = F.when(better, score).otherwise(best_score)
+    return best_idx
+
+
+def with_ivf_cell(df: DataFrame, vec_col: str, centroids: np.ndarray) -> DataFrame:
+    """Assign each row its IVF cell.  On Iceberg this column becomes a
+    partition key so probes prune at the scan."""
+    return df.withColumn(
+        "ivf_cell", _nearest_cell_expr(F.col(vec_col).cast("array<double>"), centroids)
+    )
+
+
+def ivf_topk(
+    df_celled: DataFrame,
+    vec_col: str,
+    query: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Score only rows in the ``n_probe`` cells nearest the query."""
+    q = np.asarray(query, dtype=float)
+    d2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe_cells = [int(i) for i in np.argsort(d2)[:n_probe]]
+    cand = df_celled.filter(F.col("ivf_cell").isin(probe_cells))
+    scored = cand.select(
+        F.col(id_col),
+        cosine(F.col(vec_col).cast("array<double>"), _vec_lit(query)).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
 # embedding-cosine near-duplicates (dedup variant)
 # ---------------------------------------------------------------------------
 
