@@ -45,7 +45,13 @@ from .operators.referential import referential_violations
 from .operators.stats import ColumnStatsSpec, column_stats, stats_violations
 from .operators.uniqueness import duplicate_keys_salted, uniqueness_violations
 from .plans.compiler import Compiled, Options, SpecError, compile_spec
-from .plans.report import VIOLATION_COLUMNS, partition_verdicts, violations, with_verdict
+from .plans.report import (
+    VIOLATION_COLUMNS,
+    checks_array,
+    partition_verdicts,
+    violations,
+    with_verdict,
+)
 from .streaming.manifest import Manifest, lineage_hash, partition_key_expr
 
 
@@ -79,7 +85,11 @@ class ValidationEngine:
 
     # ------------------------------------------------------------------
     def _run_table_checks(
-        self, df: DataFrame, dims: dict[str, DataFrame], snapshot: dict | None
+        self,
+        df: DataFrame,
+        dims: dict[str, DataFrame],
+        snapshot: dict | None,
+        table_checks: list | None = None,
     ) -> tuple[DataFrame | None, list[dict], dict]:
         spark = df.sparkSession
         tv_parts: list[DataFrame] = []
@@ -87,7 +97,7 @@ class ValidationEngine:
         stats_out: dict = {}
         empty_ids = [F.lit(None).cast("string").alias(c) for c in self.id_cols]
 
-        for chk in self.table_checks:
+        for chk in table_checks if table_checks is not None else self.table_checks:
             kind = chk.get("kind")
             cid = f"#/x-table-checks/{chk.get('id', kind)}"
             if kind == "unique":
@@ -258,6 +268,102 @@ class ValidationEngine:
             drift=drift_out,
             stats=stats_out,
             skipped_partitions=skipped,
+        )
+
+    # ------------------------------------------------------------------
+    def run_single_pass(
+        self,
+        df: DataFrame,
+        out_dir: str,
+        dims: dict[str, DataFrame] | None = None,
+        snapshot: dict | None = None,
+    ) -> ValidationResult:
+        """One scan of the source table, period.
+
+        ``run()`` is lazy-DataFrame-shaped and re-scans the source per
+        consumer — fine locally, wasteful at 100 TB.  This variant
+        materializes a compact **flagged table** (partition cols + id
+        cols + drift inputs + ``passed`` + the violations array) in a
+        single pass, then derives verdicts, violation rows, uniqueness,
+        referential and drift checks from that table: every downstream
+        job reads the small projection, never the wide source (html
+        stays untouched on disk)."""
+        from .sources.tables import write_table
+
+        spark = df.sparkSession
+        plan = self.compile(df)
+        valid = F.coalesce(plan.valid, F.lit(False))
+
+        drift_cols = []
+        for chk in self.table_checks:
+            if chk.get("kind") in ("drift", "quantile_drift"):
+                expr = chk.get("expr")
+                if expr:
+                    drift_cols.append(F.expr(expr).alias(chk["column"]))
+                elif chk["column"] in df.columns:
+                    drift_cols.append(F.col(chk["column"]))
+        ref_cols = [
+            F.col(chk["column"])
+            for chk in self.table_checks
+            if chk.get("kind") == "referential"
+            and chk["column"] not in (self.partition_cols + self.id_cols)
+        ]
+        unique_extra = [
+            F.col(k)
+            for chk in self.table_checks
+            if chk.get("kind") == "unique"
+            for k in chk["keys"]
+            if k not in (self.partition_cols + self.id_cols)
+        ]
+
+        flagged_path = f"{out_dir}/flagged"
+        projection = (
+            [F.col(c) for c in self.partition_cols]
+            + [F.col(c) for c in self.id_cols]
+            + ref_cols
+            + unique_extra
+            + drift_cols
+            + [valid.alias("passed"), checks_array(plan).alias("violations")]
+        )
+        write_table(df.select(*projection), flagged_path)
+        back = spark.read.parquet(flagged_path)
+
+        if self.partition_cols:
+            verdicts = back.groupBy(*self.partition_cols).agg(
+                F.count(F.lit(1)).alias("row_count"),
+                F.sum((~F.col("passed")).cast("long")).alias("failed_rows"),
+                F.min("passed").alias("passed"),
+            )
+        else:
+            verdicts = back.agg(
+                F.count(F.lit(1)).alias("row_count"),
+                F.sum((~F.col("passed")).cast("long")).alias("failed_rows"),
+                F.min("passed").alias("passed"),
+            )
+        viols = (
+            back.filter(F.size("violations") > 0)
+            .select(*self.id_cols, F.explode("violations").alias("_v"))
+            .select(
+                *self.id_cols, *[F.col(f"_v.{c}").alias(c) for c in VIOLATION_COLUMNS]
+            )
+        )
+        # drift inputs were materialized under chk["column"] in the
+        # flagged table — drop the exprs so they aren't re-applied
+        checks_for_back = [
+            {k: v for k, v in chk.items() if k != "expr"}
+            if chk.get("kind") in ("drift", "quantile_drift")
+            else chk
+            for chk in self.table_checks
+        ]
+        table_viol, drift_out, stats_out = self._run_table_checks(
+            back, dims or {}, snapshot, table_checks=checks_for_back
+        )
+        return ValidationResult(
+            verdicts=verdicts,
+            violations=viols,
+            table_violations=table_viol,
+            drift=drift_out,
+            stats=stats_out,
         )
 
     # ------------------------------------------------------------------
