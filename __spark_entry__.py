@@ -299,6 +299,31 @@ def _q_lsh_topk_embeddings(spark, sf_dir):
     ).select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def _q_top_events_per_type(spark, sf_dir):
+    """Window-function operator coverage: rank within partition."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("event_type", "rnk", "event_id", F.round("value", 6).alias("value"))
+        .orderBy("event_type", "rnk")
+    )
+
+
+def _q_distinct_users_per_type(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
 def _q_ivf_topk_embeddings(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     row = emb.filter(F.col("vec_id") == 0).first()
@@ -375,6 +400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_field_sum_events": _q_json_field_sum_events,
         "value_quantiles_events": _q_value_quantiles_events,
         "embedding_norm_stats": _q_embedding_norm_stats,
+        "top_events_per_type": _q_top_events_per_type,
+        "distinct_users_per_type": _q_distinct_users_per_type,
         # rows-only (LSH / pandas-UDF paths; no SQL equivalent)
         "minhash_near_dups_documents": _q_minhash_near_dups_documents,
         "simhash_near_dups_documents": _q_simhash_near_dups_documents,
@@ -431,6 +458,18 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
                                                       x -> x * x))) AS norm
                   FROM embeddings)
+        """,
+        "top_events_per_type": """
+            SELECT event_type, rnk, event_id, ROUND(value, 6) AS value FROM (
+              SELECT event_type, event_id, value,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY value DESC, event_id) AS rnk
+              FROM events
+            ) WHERE rnk <= 3 ORDER BY event_type, rnk
+        """,
+        "distinct_users_per_type": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "row_validation_documents": f"""
             SELECT lang, COUNT(*) AS n_rows,
