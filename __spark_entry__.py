@@ -185,10 +185,12 @@ def _q_lang_membership_documents(spark, sf_dir):
 
 def _q_ts_window_events(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    out = (
-        (F.col("ts") < F.lit("2024-01-05 00:00:00").cast("timestamp"))
-        | (F.col("ts") >= F.lit("2024-01-25 00:00:00").cast("timestamp"))
-    ).cast("long")
+    # ts reads as TIMESTAMP_NTZ (naive wall-clock — already independent
+    # of the driver session's timezone); compare against explicit NTZ
+    # literals so no LTZ coercion can sneak session-TZ effects in
+    lo = F.lit("2024-01-05 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("2024-01-25 00:00:00").cast("timestamp_ntz")
+    out = ((F.col("ts") < lo) | (F.col("ts") >= hi)).cast("long")
     return (
         ev.groupBy("event_type")
         .agg(F.sum(out).alias("n_outside"), F.count(F.lit(1)).alias("n_rows"))
