@@ -63,6 +63,7 @@ from pyspark.sql.types import (
     ShortType,
     StringType,
     StructType,
+    TimestampNTZType,
     TimestampType,
 )
 
@@ -72,6 +73,7 @@ from ..functions.formats import format_check
 _INTEGRAL = (ByteType, ShortType, IntegerType, LongType)
 _FRACTIONAL = (FloatType, DoubleType, DecimalType)
 _NUMERIC = _INTEGRAL + _FRACTIONAL
+_TIMESTAMPS = (TimestampType, TimestampNTZType)  # NTZ = Spark 4 parquet default
 
 
 class SpecError(ValueError):
@@ -454,7 +456,7 @@ class Compiler:
             return col.isNotNull() if isinstance(dt, ArrayType) else None
         # engine extensions beyond JSON's 7 types (tabular reality)
         if t == "timestamp":
-            return col.isNotNull() if isinstance(dt, TimestampType) else None
+            return col.isNotNull() if isinstance(dt, _TIMESTAMPS) else None
         if t == "date":
             return col.isNotNull() if isinstance(dt, DateType) else None
         if t == "binary":
@@ -494,6 +496,10 @@ class Compiler:
         if isinstance(value, str):
             if isinstance(dt, StringType):
                 return F.coalesce(col == F.lit(value), F.lit(False))
+            if isinstance(dt, TimestampNTZType):
+                return F.coalesce(
+                    col == F.lit(value).cast("timestamp_ntz"), F.lit(False)
+                )
             if isinstance(dt, TimestampType):
                 return F.coalesce(col == F.to_timestamp(F.lit(value)), F.lit(False))
             if isinstance(dt, DateType):
@@ -564,6 +570,8 @@ class Compiler:
         dt, col = inst.dtype, inst.col
         if isinstance(dt, _NUMERIC):
             lim: Column = _decimal_lit(value) if not isinstance(value, bool) else F.lit(value)
+        elif isinstance(dt, TimestampNTZType) and isinstance(value, str):
+            lim = F.lit(value).cast("timestamp_ntz")
         elif isinstance(dt, TimestampType) and isinstance(value, str):
             lim = F.to_timestamp(F.lit(value))
         elif isinstance(dt, DateType) and isinstance(value, str):
