@@ -443,7 +443,7 @@ def oracle_sql() -> dict[str, str]:
         "detected_lang_documents": _lang_id_sql(),
         "json_field_sum_events": """
             SELECT event_type,
-                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    COUNT(*) AS n_rows
             FROM events GROUP BY event_type ORDER BY event_type
         """,
@@ -475,12 +475,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "row_validation_documents": f"""
             SELECT lang, COUNT(*) AS n_rows,
-                   SUM(CASE WHEN {_PASS_SQL} THEN 1 ELSE 0 END) AS n_passed
+                   CAST(SUM(CASE WHEN {_PASS_SQL} THEN 1 ELSE 0 END) AS BIGINT) AS n_passed
             FROM documents GROUP BY lang ORDER BY lang
         """,
         "partition_verdicts_documents": f"""
             SELECT source, COUNT(*) AS row_count,
-                   SUM(CASE WHEN {_PASS_SQL} THEN 0 ELSE 1 END) AS failed_rows,
+                   CAST(SUM(CASE WHEN {_PASS_SQL} THEN 0 ELSE 1 END) AS BIGINT) AS failed_rows,
                    bool_and({_PASS_SQL}) AS passed
             FROM documents GROUP BY source ORDER BY source
         """,
@@ -516,15 +516,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ts_window_events": """
             SELECT event_type,
-                   SUM(CASE WHEN ts < TIMESTAMP '2024-01-05 00:00:00'
+                   CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-05 00:00:00'
                              OR ts >= TIMESTAMP '2024-01-25 00:00:00'
-                            THEN 1 ELSE 0 END) AS n_outside,
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outside,
                    COUNT(*) AS n_rows
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "json_valid_events": """
             SELECT COUNT(*) AS n_rows,
-                   SUM(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS n_valid_json
+                   CAST(SUM(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_json
             FROM events
         """,
         "hist_nchars_by_lang": """
@@ -536,13 +536,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_stats_by_source": """
             SELECT source,
-                   SUM(len(list_filter(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '), x -> x <> ''))) AS total_tokens,
+                   CAST(SUM(len(list_filter(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '), x -> x <> ''))) AS BIGINT) AS total_tokens,
                    COUNT(*) AS n_docs
             FROM documents GROUP BY source ORDER BY source
         """,
         "punct_chars_by_source": """
             SELECT source,
-                   SUM(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) AS total_punct
+                   CAST(SUM(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) AS BIGINT) AS total_punct
             FROM documents GROUP BY source ORDER BY source
         """,
         "word_jaccard_pairs": """
