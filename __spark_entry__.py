@@ -34,7 +34,7 @@ from snowy_json_spark.operators.similarity import (
     with_lsh_bucket,
 )
 from snowy_json_spark.operators.stats import ColumnStatsSpec, column_stats
-from snowy_json_spark.operators.text import detect_language, token_count
+from snowy_json_spark.operators.text import detect_language, token_count, words
 from snowy_json_spark.operators.uniqueness import duplicate_keys_salted
 from snowy_json_spark.plans.compiler import compile_spec
 from snowy_json_spark.plans.report import violations, with_verdict
@@ -256,6 +256,176 @@ def _q_word_jaccard_pairs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# §2-family keyword coverage: per-leaf failure counts through the real
+# compiler, oracle-checked keyword by keyword
+# ---------------------------------------------------------------------------
+
+
+def _leaf_failure_counts(df: DataFrame, spec: dict, aliases: dict[str, str]) -> DataFrame:
+    """Compile `spec` against df's schema and aggregate one failure count
+    per constraint leaf (keyed by constraint_id → output alias)."""
+    plan = compile_spec(spec, df.schema)
+    by_id = {leaf.constraint_id: leaf for leaf in plan.leaves}
+    missing = set(aliases) - set(by_id)
+    if missing:
+        raise AssertionError(f"spec produced no leaves for {sorted(missing)}")
+    aggs = [
+        F.sum(F.coalesce(by_id[cid].failed, F.lit(False)).cast("long")).alias(alias)
+        for cid, alias in aliases.items()
+    ]
+    return df.agg(F.count(F.lit(1)).alias("n_rows"), *aggs)
+
+
+# DuckDB twin of operators.text.words() — single source of truth for
+# normalization lives in _WORDS below (module-level, shared with the
+# round-1 token queries).
+
+ARRAY_SPEC = {
+    "properties": {
+        "words": {
+            "type": "array",
+            "minItems": 25,
+            "maxItems": 40,
+            "uniqueItems": True,
+            "items": {"type": "string", "minLength": 1, "maxLength": 6},
+            "contains": {"pattern": "^the$"},
+            "maxContains": 6,
+        }
+    }
+}
+
+
+def _q_array_keywords_documents(spark, sf_dir):
+    df = _docs(spark, sf_dir).select("doc_id", words(F.col("text")).alias("words"))
+    p = "#/properties/words"
+    return _leaf_failure_counts(
+        df,
+        ARRAY_SPEC,
+        {
+            f"{p}/minItems": "min_items_failed",
+            f"{p}/maxItems": "max_items_failed",
+            f"{p}/uniqueItems": "unique_items_failed",
+            f"{p}/items": "items_failed",
+            f"{p}/contains": "contains_failed",
+            f"{p}/maxContains": "max_contains_failed",
+        },
+    )
+
+
+SCALAR_SPEC = {
+    "properties": {
+        "lang": {"enum": ["en", "de", "fr", "es"]},
+        "source": {"const": "src1"},
+        "n_chars": {"multipleOf": 3},
+        "doc_id": {"multipleOf": 2.5},
+    }
+}
+
+
+def _q_const_enum_multipleof_documents(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    return _leaf_failure_counts(
+        df,
+        SCALAR_SPEC,
+        {
+            "#/properties/lang/enum": "enum_failed",
+            "#/properties/source/const": "const_failed",
+            "#/properties/n_chars/multipleOf": "mult3_failed",
+            "#/properties/doc_id/multipleOf": "mult25_failed",
+        },
+    )
+
+
+COMBINATOR_SPEC = {
+    "anyOf": [
+        {"properties": {"lang": {"const": "en"}}},
+        {"properties": {"n_chars": {"maximum": 100}}},
+    ],
+    "oneOf": [
+        {"properties": {"n_chars": {"minimum": 250}}},
+        {"properties": {"n_chars": {"maximum": 250}}},
+    ],
+    "not": {"properties": {"source": {"const": "src3"}}},
+    "if": {"properties": {"lang": {"const": "de"}}},
+    "then": {"properties": {"n_chars": {"minimum": 150}}},
+    "else": {"properties": {"text": {"minLength": 50}}},
+}
+
+
+def _q_combinators_documents(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    plan = compile_spec(COMBINATOR_SPEC, df.schema)
+    by_id = {leaf.constraint_id: leaf for leaf in plan.leaves}
+    fail = lambda cid: F.sum(  # noqa: E731
+        F.coalesce(by_id[cid].failed, F.lit(False)).cast("long")
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.coalesce(plan.valid, F.lit(False)).cast("long")).alias("n_passed"),
+        fail("#/anyOf").alias("anyof_failed"),
+        fail("#/oneOf").alias("oneof_failed"),
+        fail("#/not").alias("not_failed"),
+        fail("#/then/properties/n_chars/minimum").alias("then_failed"),
+        fail("#/else/properties/text/minLength").alias("else_failed"),
+    )
+
+
+def _format_columns(df: DataFrame) -> DataFrame:
+    """Deterministic format-shaped strings derived from existing data —
+    identical expressions exist in the DuckDB oracle."""
+    doc_id, n_chars = F.col("doc_id"), F.col("n_chars")
+    both = doc_id.isNotNull() & n_chars.isNotNull()
+    h = F.md5(F.col("text"))
+    uuid_ok = F.concat(
+        F.substring(h, 1, 8), F.lit("-"), F.substring(h, 9, 4), F.lit("-"),
+        F.substring(h, 13, 4), F.lit("-"), F.substring(h, 17, 4), F.lit("-"),
+        F.substring(h, 21, 12),
+    )
+    return df.select(
+        "doc_id",
+        F.when(both, F.format_string("2024-%02d-%02d", doc_id % 12 + 1, n_chars % 31 + 1)).alias("date_s"),
+        F.when(both, F.format_string("%d.%d.0.1", doc_id % 300, n_chars % 256)).alias("ip_s"),
+        F.concat(
+            F.when(doc_id % 7 == 0, F.lit(".")).otherwise(F.lit("")),
+            F.col("source"),
+            F.lit("@example.com"),
+        ).alias("email_s"),
+        F.when(doc_id % 5 == 0, F.lit("not-a-uuid")).otherwise(uuid_ok).alias("uuid_s"),
+        F.concat(
+            F.col("source"),
+            F.when(doc_id % 4 == 0, F.lit("-.example.com")).otherwise(F.lit(".example.com")),
+        ).alias("host_s"),
+    )
+
+
+FORMAT_SPEC = {
+    "$schema": "http://json-schema.org/draft-07/schema#",
+    "properties": {
+        "date_s": {"format": "date"},
+        "ip_s": {"format": "ipv4"},
+        "email_s": {"format": "email"},
+        "uuid_s": {"format": "uuid"},
+        "host_s": {"format": "hostname"},
+    },
+}
+
+
+def _q_format_keywords_documents(spark, sf_dir):
+    df = _format_columns(_docs(spark, sf_dir))
+    return _leaf_failure_counts(
+        df,
+        FORMAT_SPEC,
+        {
+            "#/properties/date_s/format": "date_failed",
+            "#/properties/ip_s/format": "ipv4_failed",
+            "#/properties/email_s/format": "email_failed",
+            "#/properties/uuid_s/format": "uuid_failed",
+            "#/properties/host_s/format": "hostname_failed",
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
 # ANN similarity
 # ---------------------------------------------------------------------------
 
@@ -404,6 +574,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norm_stats": _q_embedding_norm_stats,
         "top_events_per_type": _q_top_events_per_type,
         "distinct_users_per_type": _q_distinct_users_per_type,
+        "array_keywords_documents": _q_array_keywords_documents,
+        "const_enum_multipleof_documents": _q_const_enum_multipleof_documents,
+        "combinators_documents": _q_combinators_documents,
+        "format_keywords_documents": _q_format_keywords_documents,
         # rows-only (LSH / pandas-UDF paths; no SQL equivalent)
         "minhash_near_dups_documents": _q_minhash_near_dups_documents,
         "simhash_near_dups_documents": _q_simhash_near_dups_documents,
@@ -438,9 +612,99 @@ def _lang_id_sql() -> str:
     """
 
 
+def _format_oracle_sql() -> str:
+    """Generated from the SAME regex constants the Spark format
+    validators use (functions/formats.py), so the sides cannot drift.
+    The hostname regex swaps the length lookahead (unsupported by RE2)
+    for an explicit length() predicate."""
+    from snowy_json_spark.functions.formats import (
+        _EMAIL,
+        _FULL_DATE,
+        _IPV4,
+        _UUID,
+        _anchored,
+    )
+
+    def rx(p: str) -> str:
+        return _anchored(p).replace("'", "''")
+
+    host_core = (
+        r"\A[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
+        r"(?:\.[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*\z"
+    )
+    return f"""
+        WITH d AS (
+          SELECT
+            CASE WHEN doc_id IS NOT NULL AND n_chars IS NOT NULL
+                 THEN printf('2024-%02d-%02d', doc_id % 12 + 1, n_chars % 31 + 1) END AS date_s,
+            CASE WHEN doc_id IS NOT NULL AND n_chars IS NOT NULL
+                 THEN printf('%d.%d.0.1', doc_id % 300, n_chars % 256) END AS ip_s,
+            (CASE WHEN doc_id % 7 = 0 THEN '.' ELSE '' END || source || '@example.com') AS email_s,
+            CASE WHEN doc_id % 5 = 0 THEN 'not-a-uuid'
+                 ELSE substr(md5(text),1,8) || '-' || substr(md5(text),9,4) || '-' ||
+                      substr(md5(text),13,4) || '-' || substr(md5(text),17,4) || '-' ||
+                      substr(md5(text),21,12) END AS uuid_s,
+            (source || CASE WHEN doc_id % 4 = 0 THEN '-.example.com' ELSE '.example.com' END) AS host_s
+          FROM documents)
+        SELECT COUNT(*) AS n_rows,
+          CAST(SUM(CASE WHEN date_s IS NOT NULL AND NOT (regexp_matches(date_s, '{rx(_FULL_DATE)}')
+                         AND try_strptime(date_s, '%Y-%m-%d') IS NOT NULL) THEN 1 ELSE 0 END) AS BIGINT) AS date_failed,
+          CAST(SUM(CASE WHEN ip_s IS NOT NULL AND NOT regexp_matches(ip_s, '{rx(_IPV4)}') THEN 1 ELSE 0 END) AS BIGINT) AS ipv4_failed,
+          CAST(SUM(CASE WHEN email_s IS NOT NULL AND NOT regexp_matches(email_s, '{rx(_EMAIL)}') THEN 1 ELSE 0 END) AS BIGINT) AS email_failed,
+          CAST(SUM(CASE WHEN uuid_s IS NOT NULL AND NOT regexp_matches(uuid_s, '{rx(_UUID)}') THEN 1 ELSE 0 END) AS BIGINT) AS uuid_failed,
+          CAST(SUM(CASE WHEN host_s IS NOT NULL AND NOT (length(host_s) BETWEEN 1 AND 253
+                         AND regexp_matches(host_s, '{host_core}')) THEN 1 ELSE 0 END) AS BIGINT) AS hostname_failed
+        FROM d
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "detected_lang_documents": _lang_id_sql(),
+        "array_keywords_documents": f"""
+            WITH w AS (SELECT {_WORDS} AS words FROM documents)
+            SELECT COUNT(*) AS n_rows,
+              CAST(SUM(CASE WHEN words IS NOT NULL AND len(words) < 25 THEN 1 ELSE 0 END) AS BIGINT) AS min_items_failed,
+              CAST(SUM(CASE WHEN words IS NOT NULL AND len(words) > 40 THEN 1 ELSE 0 END) AS BIGINT) AS max_items_failed,
+              CAST(SUM(CASE WHEN words IS NOT NULL AND len(words) <> len(list_distinct(words)) THEN 1 ELSE 0 END) AS BIGINT) AS unique_items_failed,
+              CAST(SUM(CASE WHEN words IS NOT NULL AND len(list_filter(words, x -> length(x) >= 1 AND length(x) <= 6)) <> len(words) THEN 1 ELSE 0 END) AS BIGINT) AS items_failed,
+              CAST(SUM(CASE WHEN words IS NOT NULL AND len(list_filter(words, x -> regexp_matches(x, '^the$'))) < 1 THEN 1 ELSE 0 END) AS BIGINT) AS contains_failed,
+              CAST(SUM(CASE WHEN words IS NOT NULL AND len(list_filter(words, x -> regexp_matches(x, '^the$'))) > 6 THEN 1 ELSE 0 END) AS BIGINT) AS max_contains_failed
+            FROM w
+        """,
+        "const_enum_multipleof_documents": """
+            SELECT COUNT(*) AS n_rows,
+              CAST(SUM(CASE WHEN lang IS NOT NULL AND lang NOT IN ('en','de','fr','es') THEN 1 ELSE 0 END) AS BIGINT) AS enum_failed,
+              CAST(SUM(CASE WHEN source IS NOT NULL AND source <> 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS const_failed,
+              CAST(SUM(CASE WHEN n_chars IS NOT NULL AND n_chars % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS mult3_failed,
+              CAST(SUM(CASE WHEN doc_id IS NOT NULL AND doc_id % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS mult25_failed
+            FROM documents
+        """,
+        "combinators_documents": """
+            WITH c AS (
+              SELECT
+                ((lang IS NULL OR lang = 'en') OR (n_chars IS NULL OR n_chars <= 100)) AS any_ok,
+                ((CASE WHEN n_chars IS NULL OR n_chars >= 250 THEN 1 ELSE 0 END
+                  + CASE WHEN n_chars IS NULL OR n_chars <= 250 THEN 1 ELSE 0 END) = 1) AS one_ok,
+                (source IS NOT NULL AND source <> 'src3') AS not_ok,
+                (lang IS NULL OR lang = 'de') AS if_ok,
+                (lang IS NULL OR lang = 'de') AND n_chars IS NOT NULL AND n_chars < 150 AS then_failed,
+                (lang IS NOT NULL AND lang <> 'de') AND text IS NOT NULL AND length(text) < 50 AS else_failed,
+                (n_chars IS NULL OR n_chars >= 150) AS then_ok,
+                (text IS NULL OR length(text) >= 50) AS else_ok
+              FROM documents)
+            SELECT COUNT(*) AS n_rows,
+              CAST(SUM(CASE WHEN any_ok AND one_ok AND not_ok
+                             AND (CASE WHEN if_ok THEN then_ok ELSE else_ok END)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_passed,
+              CAST(SUM(CASE WHEN NOT any_ok THEN 1 ELSE 0 END) AS BIGINT) AS anyof_failed,
+              CAST(SUM(CASE WHEN NOT one_ok THEN 1 ELSE 0 END) AS BIGINT) AS oneof_failed,
+              CAST(SUM(CASE WHEN NOT not_ok THEN 1 ELSE 0 END) AS BIGINT) AS not_failed,
+              CAST(SUM(CASE WHEN then_failed THEN 1 ELSE 0 END) AS BIGINT) AS then_failed,
+              CAST(SUM(CASE WHEN else_failed THEN 1 ELSE 0 END) AS BIGINT) AS else_failed
+            FROM c
+        """,
+        "format_keywords_documents": _format_oracle_sql(),
         "json_field_sum_events": """
             SELECT event_type,
                    CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
