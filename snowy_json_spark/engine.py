@@ -294,37 +294,44 @@ class ValidationEngine:
         plan = self.compile(df)
         valid = F.coalesce(plan.valid, F.lit(False))
 
-        drift_cols = []
+        # every table check re-runs against the narrow flagged table, so
+        # each check's input column must be in the projection (deduped by
+        # name — a column may serve several roles)
+        extra: dict = {}
+        drift_exprs: dict = {}
         for chk in self.table_checks:
-            if chk.get("kind") in ("drift", "quantile_drift"):
+            kind = chk.get("kind")
+            if kind in ("drift", "quantile_drift"):
                 expr = chk.get("expr")
                 if expr:
-                    drift_cols.append(F.expr(expr).alias(chk["column"]))
+                    drift_exprs[chk["column"]] = F.expr(expr).alias(chk["column"])
                 elif chk["column"] in df.columns:
-                    drift_cols.append(F.col(chk["column"]))
-        ref_cols = [
-            F.col(chk["column"])
-            for chk in self.table_checks
-            if chk.get("kind") == "referential"
-            and chk["column"] not in (self.partition_cols + self.id_cols)
-        ]
-        unique_extra = [
-            F.col(k)
-            for chk in self.table_checks
-            if chk.get("kind") == "unique"
-            for k in chk["keys"]
-            if k not in (self.partition_cols + self.id_cols)
-        ]
+                    extra[chk["column"]] = F.col(chk["column"])
+            elif kind == "referential":
+                extra[chk["column"]] = F.col(chk["column"])
+            elif kind == "unique":
+                for k in chk["keys"]:
+                    extra[k] = F.col(k)
+            elif kind == "column_stats":
+                extra[chk["column"]] = F.col(chk["column"])
+
+        names = list(dict.fromkeys(self.partition_cols + self.id_cols))
+        projection = [F.col(c) for c in names]
+        for name, col in extra.items():
+            if name not in names:
+                names.append(name)
+                projection.append(col)
+        for name, col in drift_exprs.items():
+            if name in names:
+                raise SpecError(
+                    f"drift expr output {name!r} collides with a projected "
+                    "column; rename the drift check's column"
+                )
+            names.append(name)
+            projection.append(col)
+        projection += [valid.alias("passed"), checks_array(plan).alias("violations")]
 
         flagged_path = f"{out_dir}/flagged"
-        projection = (
-            [F.col(c) for c in self.partition_cols]
-            + [F.col(c) for c in self.id_cols]
-            + ref_cols
-            + unique_extra
-            + drift_cols
-            + [valid.alias("passed"), checks_array(plan).alias("violations")]
-        )
         write_table(df.select(*projection), flagged_path)
         back = spark.read.parquet(flagged_path)
 

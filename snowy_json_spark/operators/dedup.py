@@ -95,11 +95,15 @@ def shingles(col: Column, k: int = 5, mode: str = "char") -> Column:
         s = normalized_text(col)
         idx = F.sequence(F.lit(1), F.greatest(F.length(s) - (k - 1), F.lit(1)))
         return F.array_distinct(F.transform(idx, lambda i: s.substr(i, F.lit(k))))
-    words = F.split(normalized_text(col), " ")
+    # empty tokens are dropped (text.words() parity); a whitespace-only
+    # document yields an EMPTY shingle set, not [''] — keeps the DuckDB
+    # jaccard oracle (which filters x <> '') and Spark in agreement
+    words = F.filter(F.split(normalized_text(col), " "), lambda w: w != "")
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+        F.when(n > 0, grams).otherwise(F.array().cast("array<string>"))
     )
 
 
@@ -113,12 +117,13 @@ def shingle_hashes(col: Column, k: int = 5, mode: str = "char") -> Column:
         s = normalized_text(col)
         idx = F.sequence(F.lit(1), F.greatest(F.length(s) - (k - 1), F.lit(1)))
         return F.transform(idx, lambda i: F.xxhash64(s.substr(i, F.lit(k))))
-    words = F.split(normalized_text(col), " ")
+    words = F.filter(F.split(normalized_text(col), " "), lambda w: w != "")
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.transform(
+    grams = F.transform(
         idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, k)))
     )
+    return F.when(n > 0, grams).otherwise(F.array().cast("array<bigint>"))
 
 
 # ---------------------------------------------------------------------------

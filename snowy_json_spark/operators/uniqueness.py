@@ -44,9 +44,16 @@ def duplicate_keys_salted(
     Stage 1 aggregates per (key, deterministic salt) — at most
     ``salt_buckets`` rows per key reach stage 2 regardless of how hot
     the key is.  Stage 2 sums the partial counts.  Identical output to
-    :func:`duplicate_keys`."""
+    :func:`duplicate_keys`.
+
+    The salt is a pure function of ROW CONTENT (``xxhash64`` over every
+    column), not of partition layout — a lost-executor re-shuffle or
+    AQE repartition re-derives the identical salt, so retried tasks
+    produce identical output.  Rows identical in *every* column share a
+    salt; harmless, since map-side partial aggregation already collapses
+    them to one row per (key, salt) per task."""
     salt = F.pmod(
-        F.xxhash64(F.monotonically_increasing_id(), *[F.col(k) for k in keys]),
+        F.xxhash64(*[F.col(c) for c in df.columns]),
         F.lit(salt_buckets),
     ).alias("_salt")
     partial = (

@@ -208,7 +208,12 @@ class Instance:
         if m is None:
             return F.lit(False)
         if isinstance(self.dtype, MapType):
-            return F.coalesce(F.map_contains_key(self.col, F.lit(name)), F.lit(False))
+            # 'null = absent member' holds for maps too: a key mapped to
+            # null counts as absent, matching the StructType behavior
+            return F.coalesce(
+                F.map_contains_key(self.col, F.lit(name)) & m.col.isNotNull(),
+                F.lit(False),
+            )
         return m.col.isNotNull()
 
     # ---- typing ---------------------------------------------------------
@@ -767,7 +772,9 @@ class Compiler:
             else:  # open (map) object: runtime key match
                 jre = translate(pattern)
                 elem_dt = inst.dtype.valueType
-                matched = F.map_filter(inst.col, lambda k, v: k.rlike(jre))
+                matched = F.map_filter(
+                    inst.col, lambda k, v: k.rlike(jre) & v.isNotNull()
+                )
                 check = F.forall(
                     F.map_values(matched),
                     lambda v: sub(
@@ -819,7 +826,7 @@ class Compiler:
                     cond = cond & ~k.rlike(jre)
                 return cond
 
-            extra_map = F.map_filter(inst.col, lambda k, v: is_extra(k))
+            extra_map = F.map_filter(inst.col, lambda k, v: is_extra(k) & v.isNotNull())
             check = F.forall(
                 F.map_values(extra_map),
                 lambda v: sub(value, Instance(v, elem_dt, inst.path + "/*"), kpath, False).valid,
@@ -844,7 +851,7 @@ class Compiler:
                 add(f"propertyNames[{name}]", F.when(pres, c.valid).otherwise(True), F.lit(name))
         else:
             check = F.forall(
-                F.map_keys(inst.col),
+                F.map_keys(F.map_filter(inst.col, lambda k, v: v.isNotNull())),
                 lambda k: sub(value, Instance(k, StringType(), inst.path + "/*"), kpath, False).valid,
             )
             add(
@@ -859,7 +866,7 @@ class Compiler:
             for n in names:
                 cnt = cnt + inst.presence(n).cast("int")
             return cnt
-        return F.size(F.map_keys(inst.col))
+        return F.size(F.map_filter(inst.col, lambda k, v: v.isNotNull()))
 
     def _kw_maxProperties(self, node, value, inst, path, add, *rest):
         if not inst.is_object():
@@ -1122,86 +1129,128 @@ class Compiler:
         leaves.extend(c.leaves)
 
     # ==================================================================
-    # §2.8 unevaluated* — static branch analysis
+    # §2.8 unevaluated* — compile-time branch enumeration
     # ==================================================================
-    def _static_evaluated_names(self, node: dict, inst: Instance, ref_stack: tuple = ()) -> set[str] | None:
-        """Names evaluated by in-scope applicators, statically.
+    # Snow computes the evaluated-member set at runtime from annotations
+    # of *successfully applied* schemas in the dynamic scope
+    # (`UnevaluatedProperties.java:69-92`, retraction of failed-branch
+    # annotations `ValidatorContext.java:1276-1295`).  The compiler
+    # reproduces that dataflow statically: every applicator that can
+    # evaluate members is collected as a *source* — unconditional for
+    # sibling keywords / allOf / $ref (if those fail the whole schema
+    # fails, so their annotations never matter on a passing row), and
+    # gated on a runtime Column for anyOf/oneOf arms (gate = the arm's
+    # own validity — a failing arm's annotations are retracted) and for
+    # then/else (gate = the `if` condition).
 
-        Returns None when the evaluated set depends on runtime branches
-        (anyOf/oneOf/if with property applicators) — unsupported this
-        round; the compiler raises so correctness is never silently
-        wrong.  For static specs this matches the reference's runtime
-        annotation union (`UnevaluatedProperties.java:69-92`)."""
-        out: set[str] = set()
-        if "properties" in node:
-            out.update(node["properties"].keys())
-        for p in node.get("patternProperties", {}):
-            out.update(self._static_pattern_matches(inst, p))
-        if "additionalProperties" in node:
-            out.update(inst.member_names() or [])
-        for branch_kw in ("anyOf", "oneOf", "if", "then", "else"):
-            v = node.get(branch_kw)
-            specs = v if isinstance(v, list) else ([v] if isinstance(v, dict) else [])
-            for s in specs:
-                if any(
-                    k in s
-                    for k in ("properties", "patternProperties", "additionalProperties", "$ref", "allOf")
-                ):
-                    return None
-        for s in node.get("allOf", []):
-            if isinstance(s, dict):
-                sub_names = self._static_evaluated_names(s, inst, ref_stack)
-                if sub_names is None:
-                    return None
-                out.update(sub_names)
-        if "$ref" in node:
-            ref = node["$ref"]
-            if ref in ref_stack:
-                return None
-            target = self._resolve_ref(ref)
-            if isinstance(target, dict):
-                sub_names = self._static_evaluated_names(target, inst, ref_stack + (ref,))
-                if sub_names is None:
-                    return None
-                out.update(sub_names)
-        return out
+    def _evaluated_prop_sources(
+        self, node: dict, inst: Instance, ref_stack: tuple
+    ) -> tuple[set[str], list[str], bool, list[tuple]]:
+        """Collect property-evaluation sources for `node`'s scope.
+
+        Returns (static_names, static_patterns, static_all, gated) where
+        ``gated`` is a list of (gate Column, names set, patterns list,
+        evaluates_all bool)."""
+        static: set[str] = set()
+        static_pats: list[str] = []
+        static_all = False
+        gated: list[tuple] = []
+
+        def collect(n: dict, gate: Column | None, stack: tuple) -> None:
+            nonlocal static_all
+            props = set(n.get("properties", {}).keys())
+            pats = list(n.get("patternProperties", {}).keys())
+            has_all = "additionalProperties" in n or (
+                "unevaluatedProperties" in n and n is not node
+            )
+            if gate is None:
+                static.update(props)
+                static_pats.extend(pats)
+                static_all = static_all or has_all
+            elif props or pats or has_all:
+                gated.append((gate, props, pats, has_all))
+            for s in n.get("allOf", []):
+                if isinstance(s, dict):
+                    collect(s, gate, stack)
+            ref = n.get("$ref")
+            if isinstance(ref, str) and ref not in stack:
+                target = self._resolve_ref(ref)
+                if isinstance(target, dict):
+                    collect(target, gate, stack + (ref,))
+            for kw in ("anyOf", "oneOf"):
+                for s in n.get(kw) or []:
+                    if isinstance(s, dict):
+                        v = self._compile(s, inst, f"<uneval:{kw}>", False, stack).valid
+                        collect(s, v if gate is None else (gate & v), stack)
+            if "if" in n:
+                iv = self._compile(n["if"], inst, "<uneval:if>", False, stack).valid
+                if isinstance(n["if"], dict):
+                    # `if`'s own annotations count when it passes
+                    collect(n["if"], iv if gate is None else (gate & iv), stack)
+                if isinstance(n.get("then"), dict):
+                    collect(n["then"], iv if gate is None else (gate & iv), stack)
+                if isinstance(n.get("else"), dict):
+                    niv = ~iv
+                    collect(n["else"], niv if gate is None else (gate & niv), stack)
+
+        collect(node, None, ref_stack)
+        return static, static_pats, static_all, gated
 
     def _kw_unevaluatedProperties(self, node, value, inst, path, add, sub, collect, leaves, conds):
         if not inst.is_object():
             return
-        evaluated = self._static_evaluated_names(node, inst)
-        if evaluated is None:
-            raise SpecError(
-                f"{path}/unevaluatedProperties: dynamic branch evaluation "
-                "not supported by the static compiler yet"
-            )
+        static, static_pats, static_all, gated = self._evaluated_prop_sources(
+            node, inst, ()
+        )
+        if static_all:
+            return  # additionalProperties in scope: nothing is unevaluated
         names = inst.member_names()
         kpath = f"{path}/unevaluatedProperties"
         if names is not None:
+            static_matched = set(static)
+            for p in static_pats:
+                static_matched.update(self._static_pattern_matches(inst, p))
             for name in names:
-                if name in evaluated:
+                if name in static_matched:
                     continue
+                # runtime evaluated-condition: any gated source that
+                # covers this name, weighted by its gate
+                ev = F.lit(False)
+                for gate, props, pats, has_all in gated:
+                    covers = has_all or name in props or any(
+                        compile_python(p).search(name) for p in pats
+                    )
+                    if covers:
+                        ev = ev | gate
                 m = inst.member(name)
-                pres = inst.presence(name)
+                applies = inst.presence(name) & ~ev
                 c = sub(value, m, kpath, collect)
-                conds.append(F.when(pres, c.valid).otherwise(True))
+                conds.append(F.when(applies, c.valid).otherwise(True))
                 for lf in c.leaves:
-                    leaves.append(Leaf(lf.constraint_id, lf.instance_path, lf.failed & pres, lf.observed))
+                    leaves.append(Leaf(lf.constraint_id, lf.instance_path, lf.failed & applies, lf.observed))
         else:
-            declared = sorted(evaluated)
-            patterns = [translate(p) for p in node.get("patternProperties", {})]
             elem_dt = inst.dtype.valueType
+            static_jres = [translate(p) for p in static_pats]
+
+            def key_covered(k: Column, props: set, jres: list[str], has_all: bool) -> Column:
+                c: Column = F.lit(bool(has_all))
+                if props:
+                    c = c | k.isin(*sorted(props))
+                for jre in jres:
+                    c = c | k.rlike(jre)
+                return c
 
             def leftover(k: Column) -> Column:
-                cond = F.lit(True)
-                if declared:
-                    cond = cond & ~k.isin(*declared)
-                for jre in patterns:
-                    cond = cond & ~k.rlike(jre)
+                cond = ~key_covered(k, static, static_jres, False)
+                for gate, props, pats, has_all in gated:
+                    jres = [translate(p) for p in pats]
+                    cond = cond & ~(gate & key_covered(k, props, jres, has_all))
                 return cond
 
             check = F.forall(
-                F.map_values(F.map_filter(inst.col, lambda k, v: leftover(k))),
+                F.map_values(
+                    F.map_filter(inst.col, lambda k, v: leftover(k) & v.isNotNull())
+                ),
                 lambda v: sub(value, Instance(v, elem_dt, inst.path + "/*"), kpath, False).valid,
             )
             add(
@@ -1209,32 +1258,89 @@ class Compiler:
                 F.when(inst.not_null(), F.coalesce(check, F.lit(True))).otherwise(True),
             )
 
+    def _evaluated_item_sources(
+        self, node: dict, inst: Instance, ref_stack: tuple
+    ) -> tuple[int, bool, list[tuple]]:
+        """Collect item-evaluation sources: (static_prefix, static_all,
+        gated) with gated = list of (gate Column, prefix int, all bool).
+
+        2019-09 semantics: `items` (schema form), `additionalItems`
+        after array-form `items`, and nested `unevaluatedItems` evaluate
+        every element; array-form `items` evaluates a prefix
+        (`UnevaluatedItems.java:65-110` — `contains` does NOT contribute
+        in 2019-09)."""
+        static_prefix = 0
+        static_all = False
+        gated: list[tuple] = []
+
+        def collect(n: dict, gate: Column | None, stack: tuple) -> None:
+            nonlocal static_prefix, static_all
+            items = n.get("items")
+            prefix, all_ev = 0, False
+            if items is not None and not isinstance(items, list):
+                all_ev = True
+            elif isinstance(items, list):
+                prefix = len(items)
+                if "additionalItems" in n:
+                    all_ev = True
+            if "unevaluatedItems" in n and n is not node:
+                all_ev = True
+            if gate is None:
+                static_prefix = max(static_prefix, prefix)
+                static_all = static_all or all_ev
+            elif prefix or all_ev:
+                gated.append((gate, prefix, all_ev))
+            for s in n.get("allOf", []):
+                if isinstance(s, dict):
+                    collect(s, gate, stack)
+            ref = n.get("$ref")
+            if isinstance(ref, str) and ref not in stack:
+                target = self._resolve_ref(ref)
+                if isinstance(target, dict):
+                    collect(target, gate, stack + (ref,))
+            for kw in ("anyOf", "oneOf"):
+                for s in n.get(kw) or []:
+                    if isinstance(s, dict):
+                        v = self._compile(s, inst, f"<uneval:{kw}>", False, stack).valid
+                        collect(s, v if gate is None else (gate & v), stack)
+            if "if" in n:
+                iv = self._compile(n["if"], inst, "<uneval:if>", False, stack).valid
+                if isinstance(n["if"], dict):
+                    collect(n["if"], iv if gate is None else (gate & iv), stack)
+                if isinstance(n.get("then"), dict):
+                    collect(n["then"], iv if gate is None else (gate & iv), stack)
+                if isinstance(n.get("else"), dict):
+                    niv = ~iv
+                    collect(n["else"], niv if gate is None else (gate & niv), stack)
+
+        collect(node, None, ref_stack)
+        return static_prefix, static_all, gated
+
     def _kw_unevaluatedItems(self, node, value, inst, path, add, sub, collect, leaves, conds):
         if not self._is_array(inst):
             return
-        for branch_kw in ("anyOf", "oneOf", "if", "then", "else", "allOf", "$ref"):
-            v = node.get(branch_kw)
-            specs = v if isinstance(v, list) else ([v] if v is not None else [])
-            for s in specs:
-                if isinstance(s, dict) and any(k in s for k in ("items", "additionalItems", "contains")):
-                    raise SpecError(
-                        f"{path}/unevaluatedItems: dynamic branch evaluation not supported yet"
-                    )
-        items = node.get("items")
+        static_prefix, static_all, gated = self._evaluated_item_sources(node, inst, ())
+        if static_all:
+            return  # schema-form items / additionalItems: all evaluated
         col = inst.col
         kpath = f"{path}/unevaluatedItems"
-        if items is not None and not isinstance(items, list):
-            return  # schema-form items evaluates everything
-        if "additionalItems" in node and isinstance(items, list):
-            return  # additionalItems evaluates the tail
-        k = len(items) if isinstance(items, list) else 0
-        tail = F.slice(col, k + 1, F.size(col) - k)
+        all_ev = F.lit(False)
+        upto: Column = F.lit(static_prefix)
+        for gate, prefix, is_all in gated:
+            if is_all:
+                all_ev = all_ev | gate
+            if prefix:
+                upto = F.greatest(upto, F.when(gate, F.lit(prefix)).otherwise(F.lit(0)))
+        tail = F.slice(col, upto + 1, F.greatest(F.size(col) - upto, F.lit(0)))
         check = F.forall(
             tail, lambda x: sub(value, self._elem(inst, x), kpath, False).valid
         )
         add(
             "unevaluatedItems",
-            F.when(col.isNotNull() & (F.size(col) > k), F.coalesce(check, F.lit(True))).otherwise(True),
+            F.when(
+                col.isNotNull() & ~all_ev & (F.size(col) > upto),
+                F.coalesce(check, F.lit(True)),
+            ).otherwise(True),
         )
 
 

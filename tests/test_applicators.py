@@ -246,3 +246,32 @@ def test_violation_rows_for_array(spark):
     assert len(v) == 1
     assert v[0]["constraint_id"] == "#/properties/xs/maxItems"
     assert v[0]["observed_value"] == "3"
+
+
+def test_map_null_member_is_absent(spark):
+    """'null = absent member' holds for MapType too (round-1 advice):
+    a key mapped to null is absent for required / properties / counts,
+    matching the StructType convention."""
+    schema = StructType([StructField("m", MapType(StringType(), IntegerType()))])
+    rows = [({"a": None},), ({"a": 1},), ({},)]
+    assert verdicts(
+        spark, {"properties": {"m": {"required": ["a"]}}}, rows, schema
+    ) == [False, True, False]
+    # subschemas never apply to a null member
+    assert verdicts(
+        spark,
+        {"properties": {"m": {"properties": {"a": {"minimum": 5}}}}},
+        rows,
+        schema,
+    ) == [True, False, True]
+    # property counts ignore null-valued keys
+    assert verdicts(
+        spark, {"properties": {"m": {"minProperties": 1}}}, rows, schema
+    ) == [False, True, False]
+    # open-object applicators skip null members as well
+    assert verdicts(
+        spark,
+        {"properties": {"m": {"additionalProperties": {"minimum": 5}}}},
+        rows,
+        schema,
+    ) == [True, False, True]

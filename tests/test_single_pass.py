@@ -19,6 +19,9 @@ SPEC = {
     "x-table-checks": [
         {"id": "url_unique", "kind": "unique", "keys": ["url"]},
         {"id": "lang_valid", "kind": "referential", "column": "lang", "ref": "lang_ref"},
+        # column_stats input must ride the flagged projection (round-1
+        # advice: this used to KeyError in run_single_pass)
+        {"id": "text_stats", "kind": "column_stats", "column": "text", "max_null_rate": 0.0},
         {
             "id": "len_drift",
             "kind": "drift",
@@ -53,6 +56,8 @@ def test_single_pass_matches_run(spark, pages, tmp_path):
     d1 = {d["group"]: d["status"] for d in single.drift}
     d2 = {d["group"]: d["status"] for d in lazy.drift}
     assert d1 == d2
+    assert single.stats == lazy.stats
+    assert single.stats  # column_stats actually ran
 
 
 def test_flagged_table_is_narrow(spark, pages, tmp_path):
