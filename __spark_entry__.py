@@ -37,7 +37,7 @@ from snowy_json_spark.operators.stats import ColumnStatsSpec, column_stats
 from snowy_json_spark.operators.text import detect_language, token_count, words
 from snowy_json_spark.operators.uniqueness import duplicate_keys_salted
 from snowy_json_spark.plans.compiler import compile_spec
-from snowy_json_spark.plans.report import violations, with_verdict
+from snowy_json_spark.plans.report import annotations, violations, with_verdict
 
 # Flagship spec: validate the `documents` table (closest analog of the
 # north-star `pages` table) — presence, lang-code shape, length bounds.
@@ -370,6 +370,28 @@ def _q_combinators_documents(spark, sf_dir):
     )
 
 
+ANNOTATED_SPEC = {
+    "title": "documents",
+    "properties": {
+        "lang": {"title": "language code", "pattern": "^[a-z]{2}$"},
+        "n_chars": {"deprecated": True, "maximum": 500},
+    },
+}
+
+
+def _q_annotations_documents(spark, sf_dir):
+    """processAnnotations analog: applied-annotation counts per
+    (instance_path, name, constraint_id)."""
+    df = _docs(spark, sf_dir)
+    plan = compile_spec(ANNOTATED_SPEC, df.schema)
+    return (
+        annotations(df, plan, ["doc_id"])
+        .groupBy("instance_path", "name", "constraint_id", "value_json")
+        .agg(F.count(F.lit(1)).alias("n_applied"))
+        .orderBy("instance_path", "name")
+    )
+
+
 def _format_columns(df: DataFrame) -> DataFrame:
     """Deterministic format-shaped strings derived from existing data —
     identical expressions exist in the DuckDB oracle."""
@@ -578,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "const_enum_multipleof_documents": _q_const_enum_multipleof_documents,
         "combinators_documents": _q_combinators_documents,
         "format_keywords_documents": _q_format_keywords_documents,
+        "annotations_documents": _q_annotations_documents,
         # rows-only (LSH / pandas-UDF paths; no SQL equivalent)
         "minhash_near_dups_documents": _q_minhash_near_dups_documents,
         "simhash_near_dups_documents": _q_simhash_near_dups_documents,
@@ -705,6 +728,28 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "format_keywords_documents": _format_oracle_sql(),
+        "annotations_documents": """
+            WITH b AS (SELECT
+                (lang IS NULL OR regexp_matches(lang, '^[a-z]{2}$')) AS lang_vac,
+                (lang IS NOT NULL AND regexp_matches(lang, '^[a-z]{2}$')) AS lang_pres_ok,
+                (n_chars IS NULL OR n_chars <= 500) AS nch_vac,
+                (n_chars IS NOT NULL AND n_chars <= 500) AS nch_pres_ok
+              FROM documents)
+            SELECT * FROM (
+              SELECT '' AS instance_path, 'title' AS name, '#/title' AS constraint_id,
+                     '"documents"' AS value_json,
+                     CAST(SUM(CASE WHEN lang_vac AND nch_vac THEN 1 ELSE 0 END) AS BIGINT) AS n_applied
+              FROM b
+              UNION ALL
+              SELECT '/lang', 'title', '#/properties/lang/title', '"language code"',
+                     CAST(SUM(CASE WHEN lang_pres_ok AND nch_vac THEN 1 ELSE 0 END) AS BIGINT)
+              FROM b
+              UNION ALL
+              SELECT '/n_chars', 'deprecated', '#/properties/n_chars/deprecated', 'true',
+                     CAST(SUM(CASE WHEN nch_pres_ok AND lang_vac THEN 1 ELSE 0 END) AS BIGINT)
+              FROM b
+            ) ORDER BY instance_path, name
+        """,
         "json_field_sum_events": """
             SELECT event_type,
                    CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -91,17 +91,44 @@ class Leaf:
 
 
 @dataclass
+class Annotation:
+    """One annotation keyword at one schema location (Snow:
+    `Annotation.java:42-88`, emitted per (instance loc, name, schema
+    loc) by `Validator.java:485-494`).  ``applied`` is the runtime
+    condition under which the annotation is attached — presence/branch
+    guards AND the containing schema's validity, reproducing Snow's
+    retraction of failed-schema annotations
+    (`ValidatorContext.java:1276-1295`)."""
+
+    constraint_id: str  # schema-side location of the annotation keyword
+    instance_path: str
+    name: str  # keyword name (title, default, format, ...)
+    value_json: str  # the annotation value, JSON-encoded
+    applied: Column
+
+
+@dataclass
 class Compiled:
     valid: Column  # null-safe boolean
     leaves: list[Leaf] = field(default_factory=list)
+    annotations: list[Annotation] = field(default_factory=list)
 
 
 @dataclass
 class Options:
     spec_version: str = "2019-09"  # or "draft-07", "draft-06"
-    assert_format: bool = True  # Format.java:248-259 gating
+    #: None = draft-dependent default (Snow: format asserts by default
+    #: up to Draft-07, is annotation-only under 2019-09 unless the
+    #: FORMAT option / format vocabulary enables it — Options.java:51-52,
+    #: Format.java:248-259).  True/False force it either way.
+    assert_format: bool | None = None
     assert_content: bool = True  # ContentEncoding Draft-07 + CONTENT option
     max_recursion_depth: int = 16  # $recursiveRef unrolling cap
+
+    def format_asserts(self) -> bool:
+        if self.assert_format is None:
+            return self.spec_version != "2019-09"
+        return self.assert_format
 
 
 def _detect_spec_version(spec: dict) -> str | None:
@@ -266,17 +293,45 @@ class Compiler:
         "x-table-checks",
     }
 
-    def __init__(self, spec: dict | bool, options: Options | None = None):
+    #: annotation-only keywords collected into the annotations surface
+    #: (SURVEY.md §2.7; Title.java:41-52 etc.); `format` additionally
+    #: always annotates, even when asserting (Format.java:256)
+    _ANNOTATION_KWS = (
+        "title",
+        "description",
+        "default",
+        "examples",
+        "deprecated",
+        "readOnly",
+        "writeOnly",
+        "contentSchema",
+    )
+
+    def __init__(
+        self,
+        spec: dict | bool,
+        options: Options | None = None,
+        registry: dict[str, dict] | None = None,
+    ):
+        """``registry`` maps absolute URIs to schema documents for
+        cross-document ``$ref`` (the compile-time analog of Snow's
+        AUTO_RESOLVE closure walk, `Validator.java:248-321` — local
+        documents only, never the network)."""
         self.spec = spec
         self.options = options or Options()
+        self.registry = registry or {}
         self.anchors: dict[str, Any] = {}
         self._rref_depth = 0
         self._recursive_anchor_stack: list = []
+        self._ann_stack: list = []
+        self._doc_stack: list = [spec]
+        self._doc_anchors: dict[int, dict] = {}
         if isinstance(spec, dict):
             detected = _detect_spec_version(spec)
             if detected is not None:
                 self.options.spec_version = detected
             self._scan_anchors(spec)
+            self._doc_anchors[id(spec)] = self.anchors
 
     # ------------------------------------------------------------------
     def _scan_anchors(self, node: Any) -> None:
@@ -295,34 +350,90 @@ class Compiler:
             for v in node:
                 self._scan_anchors(v)
 
-    def _resolve_ref(self, ref: str) -> Any:
-        """Resolve an in-document $ref (pointer or anchor).
+    def _anchors_for(self, doc: Any) -> dict:
+        """Per-document $anchor/$id symbol table, scanned lazily and
+        cached (Validator.scanIDs analog for registry documents)."""
+        key = id(doc)
+        if key not in self._doc_anchors:
+            found: dict[str, Any] = {}
 
-        Cross-document refs are a compile error this round (Snow fetches
-        over the network only under AUTO_RESOLVE, `Validator.java:214-321`).
-        """
-        if ref == "#":
-            return self.spec
-        if ref.startswith("#/"):
-            node: Any = self.spec
-            for raw in ref[2:].split("/"):
-                tok = raw.replace("~1", "/").replace("~0", "~")
-                if isinstance(node, list):
-                    try:
-                        node = node[int(tok)]
-                    except (ValueError, IndexError):
-                        raise SpecError(f"unresolvable $ref: {ref}")
-                elif isinstance(node, dict) and tok in node:
-                    node = node[tok]
-                else:
+            def scan(node: Any) -> None:
+                if isinstance(node, dict):
+                    a = node.get("$anchor")
+                    if isinstance(a, str):
+                        found[a] = node
+                    i = node.get("$id")
+                    if isinstance(i, str) and i.startswith("#") and len(i) > 1:
+                        found[i[1:]] = node
+                    for v in node.values():
+                        scan(v)
+                elif isinstance(node, list):
+                    for v in node:
+                        scan(v)
+
+            scan(doc)
+            self._doc_anchors[key] = found
+        return self._doc_anchors[key]
+
+    @staticmethod
+    def _follow_pointer(doc: Any, pointer: str, ref: str) -> Any:
+        node = doc
+        for raw in pointer.split("/"):
+            tok = raw.replace("~1", "/").replace("~0", "~")
+            if isinstance(node, list):
+                try:
+                    node = node[int(tok)]
+                except (ValueError, IndexError):
                     raise SpecError(f"unresolvable $ref: {ref}")
-            return node
+            elif isinstance(node, dict) and tok in node:
+                node = node[tok]
+            else:
+                raise SpecError(f"unresolvable $ref: {ref}")
+        return node
+
+    def _resolve_ref(self, ref: str) -> Any:
+        return self._resolve_ref_doc(ref)[0]
+
+    def _resolve_ref_doc(self, ref: str) -> tuple[Any, Any | None]:
+        """Resolve a $ref in the *current document* context.
+
+        Returns (target, crossed_doc): crossed_doc is the registry
+        document entered when the ref is cross-document, else None.
+        In-document pointers/anchors resolve against the innermost
+        document being compiled (so refs inside a registry document stay
+        local to it — `CoreRef.java:46-114` base-URI semantics).
+        Cross-document refs resolve against the user-supplied local
+        registry only; the engine never fetches over the network (Snow
+        does so only under AUTO_RESOLVE, `Validator.java:214-321`).
+        """
+        doc = self._doc_stack[-1]
+        if ref == "#":
+            return doc, None
+        if ref.startswith("#/"):
+            return self._follow_pointer(doc, ref[2:], ref), None
         if ref.startswith("#"):
             name = ref[1:]
-            if name in self.anchors:
-                return self.anchors[name]
+            anchors = self._anchors_for(doc)
+            if name in anchors:
+                return anchors[name], None
             raise SpecError(f"unknown $anchor: {ref}")
-        raise SpecError(f"external $ref not supported at compile time: {ref}")
+        base, _, frag = ref.partition("#")
+        ext = self.registry.get(base)
+        if ext is None and ref in self.registry:
+            ext, frag = self.registry[ref], ""
+        if ext is None:
+            raise SpecError(
+                f"external $ref not in document registry: {ref} "
+                "(pass registry={uri: document} at compile time)"
+            )
+        if not frag:
+            return ext, ext
+        if frag.startswith("/"):
+            return self._follow_pointer(ext, frag[1:], ref), ext
+        anchors = self._anchors_for(ext)
+        if frag in anchors:
+            return anchors[frag], ext
+        raise SpecError(f"unknown $anchor in {base}: #{frag}")
 
     # ------------------------------------------------------------------
     def compile_row(self, schema: StructType, collect: bool = True) -> Compiled:
@@ -367,16 +478,24 @@ class Compiler:
             ref = node["$ref"]
             if ref in ref_stack:
                 raise SpecError(f"$ref cycle detected: {ref}")
-            target = self._resolve_ref(ref)
-            sub = self._compile(
-                target, inst, path + "/$ref", collect, ref_stack + (ref,)
-            )
+            target, ext_doc = self._resolve_ref_doc(ref)
+            if ext_doc is not None:
+                self._doc_stack.append(ext_doc)
+            try:
+                sub = self._compile(
+                    target, inst, path + "/$ref", collect, ref_stack + (ref,)
+                )
+            finally:
+                if ext_doc is not None:
+                    self._doc_stack.pop()
             if self.options.spec_version != "2019-09" or len(node) == 1:
                 return sub
             rest = {k: v for k, v in node.items() if k != "$ref"}
             sibling = self._compile(rest, inst, path, collect, ref_stack)
             return Compiled(
-                sub.valid & sibling.valid, sub.leaves + sibling.leaves
+                sub.valid & sibling.valid,
+                sub.leaves + sibling.leaves,
+                sub.annotations + sibling.annotations,
             )
 
         # $recursiveAnchor: outermost anchored schema is the dynamic base
@@ -392,11 +511,38 @@ class Compiler:
             if pushed_anchor:
                 self._recursive_anchor_stack.pop()
 
+    def _adopt(self, c: Compiled, guard: Column | None, leaves: list) -> None:
+        """Adopt a subcompile's leaves and annotations under a guard
+        (presence / branch condition)."""
+        for lf in c.leaves:
+            leaves.append(
+                Leaf(
+                    lf.constraint_id,
+                    lf.instance_path,
+                    lf.failed & guard if guard is not None else lf.failed,
+                    lf.observed,
+                )
+            )
+        if self._ann_stack and c.annotations:
+            sink = self._ann_stack[-1]
+            for an in c.annotations:
+                sink.append(
+                    Annotation(
+                        an.constraint_id,
+                        an.instance_path,
+                        an.name,
+                        an.value_json,
+                        an.applied & guard if guard is not None else an.applied,
+                    )
+                )
+
     def _compile_object(
         self, node: dict, inst: Instance, path: str, collect: bool, ref_stack: tuple
     ) -> Compiled:
         conds: list[Column] = []
         leaves: list[Leaf] = []
+        anns: list[Annotation] = []
+        self._ann_stack.append(anns)
 
         def add(kw: str, valid: Column, observed: Column | None = None) -> None:
             conds.append(valid)
@@ -415,22 +561,58 @@ class Compiler:
         ) -> Compiled:
             return self._compile(sub, sub_inst, sub_path, sub_collect, ref_stack)
 
-        for kw, value in node.items():
-            if kw in self._NON_ASSERTING or kw == "$ref":
-                continue
-            if kw in CUSTOM_KEYWORDS:
-                # extension registry (§2.11): user-supplied compile fn
-                add(kw, F.coalesce(CUSTOM_KEYWORDS[kw](value, inst, path, self), F.lit(True)))
-                continue
-            handler = getattr(self, f"_kw_{kw.replace('$', 'dollar_')}", None)
-            if handler is None:
-                continue  # unknown keywords ignored (annotation-collected in Snow)
-            handler(node, value, inst, path, add, subcompile, collect, leaves, conds)
+        try:
+            for kw, value in node.items():
+                if kw in self._NON_ASSERTING or kw == "$ref":
+                    continue
+                if kw in CUSTOM_KEYWORDS:
+                    # extension registry (§2.11): user-supplied compile fn
+                    add(kw, F.coalesce(CUSTOM_KEYWORDS[kw](value, inst, path, self), F.lit(True)))
+                    continue
+                handler = getattr(self, f"_kw_{kw.replace('$', 'dollar_')}", None)
+                if handler is None:
+                    continue  # unknown keywords ignored (annotation-collected in Snow)
+                handler(node, value, inst, path, add, subcompile, collect, leaves, conds)
+        finally:
+            self._ann_stack.pop()
 
         valid = F.lit(True)
         for c in conds:
             valid = valid & c
-        return Compiled(valid, leaves)
+
+        if collect:
+            own = [
+                Annotation(
+                    f"{path}/{kw}",
+                    inst.path,
+                    kw,
+                    json.dumps(node[kw], sort_keys=True),
+                    F.lit(True),
+                )
+                for kw in self._ANNOTATION_KWS
+                if kw in node
+            ]
+            if isinstance(node.get("format"), str):
+                # format always annotates, asserted or not (Format.java:256)
+                own.append(
+                    Annotation(
+                        f"{path}/format",
+                        inst.path,
+                        "format",
+                        json.dumps(node["format"]),
+                        F.lit(True),
+                    )
+                )
+            # a failed schema's annotations are retracted
+            # (ValidatorContext.java:1276-1295): gate everything
+            # collected at or below this object on the object's validity
+            anns = [
+                Annotation(a.constraint_id, a.instance_path, a.name, a.value_json, a.applied & valid)
+                for a in (own + anns)
+            ]
+        else:
+            anns = []
+        return Compiled(valid, leaves, anns)
 
     # ==================================================================
     # §2.1 scalar assertions
@@ -672,7 +854,7 @@ class Compiler:
     def _kw_format(self, node, value, inst, path, add, *rest):
         if not isinstance(value, str):
             raise SpecError(f"{path}/format must be a string")
-        if not self.options.assert_format or not self._string_kw(inst):
+        if not self.options.format_asserts() or not self._string_kw(inst):
             return
         chk = format_check(value, inst.col)
         if chk is None:
@@ -742,10 +924,7 @@ class Compiler:
             pres = inst.presence(name)
             c = sub(subspec, m, f"{path}/properties/{name}", collect)
             conds.append(F.when(pres, c.valid).otherwise(True))
-            for lf in c.leaves:
-                leaves.append(
-                    Leaf(lf.constraint_id, lf.instance_path, lf.failed & pres, lf.observed)
-                )
+            self._adopt(c, pres, leaves)
 
     def _static_pattern_matches(self, inst: Instance, pattern: str) -> list[str]:
         rx = compile_python(pattern)
@@ -769,6 +948,7 @@ class Compiler:
                         leaves.append(
                             Leaf(lf.constraint_id, f"{inst.path}/{name}", lf.failed & pres, lf.observed)
                         )
+                    self._adopt(Compiled(c.valid, [], c.annotations), pres, leaves)
             else:  # open (map) object: runtime key match
                 jre = translate(pattern)
                 elem_dt = inst.dtype.valueType
@@ -810,10 +990,7 @@ class Compiler:
                 pres = inst.presence(name)
                 c = sub(value, m, kpath, collect)
                 conds.append(F.when(pres, c.valid).otherwise(True))
-                for lf in c.leaves:
-                    leaves.append(
-                        Leaf(lf.constraint_id, lf.instance_path, lf.failed & pres, lf.observed)
-                    )
+                self._adopt(c, pres, leaves)
         else:
             elem_dt = inst.dtype.valueType
             jres = [translate(p) for p in patterns]
@@ -907,10 +1084,7 @@ class Compiler:
             pres = inst.presence(key)
             c = sub(subspec, inst, f"{path}/dependentSchemas/{key}", collect)
             conds.append(F.when(pres, c.valid).otherwise(True))
-            for lf in c.leaves:
-                leaves.append(
-                    Leaf(lf.constraint_id, lf.instance_path, lf.failed & pres, lf.observed)
-                )
+            self._adopt(c, pres, leaves)
 
     def _kw_dependencies(self, node, value, inst, path, add, sub, collect, leaves, conds):
         # ≤ Draft-07 split form (Dependencies.java:73-120)
@@ -1053,7 +1227,7 @@ class Compiler:
         for i, s in enumerate(value):
             c = sub(s, inst, f"{path}/allOf/{i}", collect)
             conds.append(c.valid)
-            leaves.extend(c.leaves)
+            self._adopt(c, None, leaves)
 
     def _kw_anyOf(self, node, value, inst, path, add, sub, collect, leaves, conds):
         if not isinstance(value, list) or not value:
@@ -1094,10 +1268,8 @@ class Compiler:
         )
         # absent branch passes (If.java:67-78)
         conds.append(F.when(if_c.valid, then_c.valid).otherwise(else_c.valid))
-        for lf in then_c.leaves:
-            leaves.append(Leaf(lf.constraint_id, lf.instance_path, lf.failed & if_c.valid, lf.observed))
-        for lf in else_c.leaves:
-            leaves.append(Leaf(lf.constraint_id, lf.instance_path, lf.failed & ~if_c.valid, lf.observed))
+        self._adopt(then_c, if_c.valid, leaves)
+        self._adopt(else_c, ~if_c.valid, leaves)
 
     # then/else are handled inside _kw_if (inner Applier keywords, If.java:40-53)
 
@@ -1126,7 +1298,7 @@ class Compiler:
         finally:
             self._rref_depth -= 1
         conds.append(c.valid)
-        leaves.extend(c.leaves)
+        self._adopt(c, None, leaves)
 
     # ==================================================================
     # §2.8 unevaluated* — compile-time branch enumeration
@@ -1226,8 +1398,7 @@ class Compiler:
                 applies = inst.presence(name) & ~ev
                 c = sub(value, m, kpath, collect)
                 conds.append(F.when(applies, c.valid).otherwise(True))
-                for lf in c.leaves:
-                    leaves.append(Leaf(lf.constraint_id, lf.instance_path, lf.failed & applies, lf.observed))
+                self._adopt(c, applies, leaves)
         else:
             elem_dt = inst.dtype.valueType
             static_jres = [translate(p) for p in static_pats]
@@ -1349,9 +1520,15 @@ def compile_spec(
     schema: StructType,
     options: Options | None = None,
     collect: bool = True,
+    registry: dict[str, dict] | None = None,
 ) -> Compiled:
-    """Compile a row-scope constraint spec against a table schema."""
-    return Compiler(spec, options).compile_row(schema, collect=collect)
+    """Compile a row-scope constraint spec against a table schema.
+
+    ``registry`` supplies local documents for cross-document ``$ref``
+    (URI → schema document; no network access ever)."""
+    return Compiler(spec, options, registry=registry).compile_row(
+        schema, collect=collect
+    )
 
 
 def spec_from_json(text: str) -> dict:

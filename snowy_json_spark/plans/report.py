@@ -68,6 +68,67 @@ def violations(df: DataFrame, plan: Compiled, id_cols: list[str]) -> DataFrame:
     )
 
 
+ANNOTATION_COLUMNS = ["instance_path", "name", "constraint_id", "value_json"]
+
+_ANNOTATION_STRUCT = (
+    "array<struct<instance_path:string,name:string,"
+    "constraint_id:string,value_json:string>>"
+)
+
+
+def annotations_array(plan: Compiled) -> Column:
+    """Array of applied-annotation structs for one row (Snow's
+    processAnnotations input, `Validator.java:485-494`); same
+    allocate-only-when-applied shape as :func:`checks_array`."""
+    if not plan.annotations:
+        return F.array().cast(_ANNOTATION_STRUCT)
+    parts = [
+        F.when(
+            F.coalesce(a.applied, F.lit(False)),
+            F.array(
+                F.struct(
+                    F.lit(a.instance_path).alias("instance_path"),
+                    F.lit(a.name).alias("name"),
+                    F.lit(a.constraint_id).alias("constraint_id"),
+                    F.lit(a.value_json).alias("value_json"),
+                )
+            ),
+        ).otherwise(F.array().cast(_ANNOTATION_STRUCT))
+        for a in plan.annotations
+    ]
+    return F.concat(*parts) if len(parts) > 1 else parts[0]
+
+
+def annotations(df: DataFrame, plan: Compiled, id_cols: list[str]) -> DataFrame:
+    """One row per (row, applied annotation): the engine's
+    processAnnotations analog (`Results.java:107-123`, printed
+    `Main.java:198-245`).  Sort with
+    ``orderBy(*id_cols, *ANNOTATION_COLUMNS)`` for Snow's output order
+    (instance location, then name, then schema location)."""
+    arr = annotations_array(plan)
+    return df.select(*id_cols, F.explode(arr).alias("_a")).select(
+        *id_cols, *[F.col(f"_a.{c}").alias(c) for c in ANNOTATION_COLUMNS]
+    )
+
+
+def annotation_catalog(plan: Compiled) -> list[dict]:
+    """Compile-time annotation inventory (no data pass): every
+    annotation keyword in the spec with its schema location and value,
+    sorted like `Results.java:107-123`."""
+    rows = [
+        {
+            "instance_path": a.instance_path,
+            "name": a.name,
+            "constraint_id": a.constraint_id,
+            "value_json": a.value_json,
+        }
+        for a in plan.annotations
+    ]
+    return sorted(
+        rows, key=lambda r: (r["instance_path"], r["name"], r["constraint_id"])
+    )
+
+
 def partition_verdicts(
     df: DataFrame, plan: Compiled, partition_cols: list[str]
 ) -> DataFrame:

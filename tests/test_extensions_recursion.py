@@ -38,7 +38,11 @@ def test_custom_keyword(spark):
 
 def test_custom_format(spark):
     register_format("even-length", lambda col: F.length(col) % 2 == 0)
-    spec = {"properties": {"s": {"format": "even-length"}}}
+    # draft-07 so format asserts by default (2019-09: annotation-only)
+    spec = {
+        "$schema": "http://json-schema.org/draft-07/schema#",
+        "properties": {"s": {"format": "even-length"}},
+    }
     df = spark.createDataFrame([("ab",), ("abc",)], "s string")
     plan = compile_spec(spec, df.schema)
     assert [r["passed"] for r in with_verdict(df, plan).collect()] == [True, False]

@@ -119,7 +119,11 @@ CASES = {
 def test_format(spark, fmt):
     values = CASES[fmt]
     df = spark.createDataFrame([(v,) for v, _ in values], "s string")
-    plan = compile_spec({"properties": {"s": {"format": fmt}}}, df.schema)
+    plan = compile_spec(
+        {"$schema": "http://json-schema.org/draft-07/schema#",
+         "properties": {"s": {"format": fmt}}},
+        df.schema,
+    )
     got = [r["passed"] for r in with_verdict(df, plan).collect()]
     want = [ok for _, ok in values]
     assert got == want, f"{fmt}: {list(zip([v for v, _ in values], got, want))}"
@@ -127,7 +131,11 @@ def test_format(spark, fmt):
 
 def test_unknown_format_passes(spark):
     df = spark.createDataFrame([("anything",)], "s string")
-    plan = compile_spec({"properties": {"s": {"format": "no-such-format"}}}, df.schema)
+    plan = compile_spec(
+        {"$schema": "http://json-schema.org/draft-07/schema#",
+         "properties": {"s": {"format": "no-such-format"}}},
+        df.schema,
+    )
     assert with_verdict(df, plan).collect()[0]["passed"] is True
     assert plan.leaves == []
 
