@@ -29,7 +29,10 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from snowy_json_spark.engine import ValidationEngine  # noqa: E402
-from snowy_json_spark.operators.dedup import minhash_near_duplicates  # noqa: E402
+from snowy_json_spark.operators.dedup import (  # noqa: E402
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+)
 from snowy_json_spark.operators.referential import anti_join_violations  # noqa: E402
 from snowy_json_spark.operators.similarity import brute_force_topk  # noqa: E402
 from snowy_json_spark.operators.stats import ColumnStatsSpec, column_stats  # noqa: E402
@@ -123,7 +126,10 @@ def main() -> None:
     )
 
     def run_pages():
-        res = eng.run(pages, dims=dims)
+        # single-pass flagship: ONE scan of the wide source into the
+        # narrow flagged table; verdicts/violations/table checks all
+        # read the flagged table (engine.run_single_pass)
+        res = eng.run_single_pass(pages, "/tmp/bench_out", dims=dims)
         n = res.verdicts.agg(F.sum("row_count")).collect()[0][0]
         res.violations.count()
         res.table_violations.count()
@@ -176,6 +182,13 @@ def main() -> None:
         lambda: minhash_near_duplicates(
             docs, "doc_id", "text", threshold=0.5, n_hashes=64, n_bands=16
         ).count(),
+    )
+
+    # -- q_simhash ---------------------------------------------------------------
+    simhash_near_duplicates(docs.limit(64), "doc_id", "text").count()  # warmup
+    timed(
+        "q_simhash",
+        lambda: simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3).count(),
     )
 
     # -- q_ann -------------------------------------------------------------------

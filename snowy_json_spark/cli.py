@@ -54,6 +54,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--id-cols", default="url")
     ap.add_argument("--partition-cols", default="")
     ap.add_argument("--format", default=None, help="table format (parquet|iceberg)")
+    ap.add_argument(
+        "--mode",
+        default="single-pass",
+        choices=["single-pass", "lazy"],
+        help="single-pass (default): one scan of the wide source into a "
+        "narrow flagged table, all downstream checks read the flagged "
+        "table; lazy: derive every output from the source DataFrame "
+        "(re-scans per consumer — small inputs only)",
+    )
     args = ap.parse_args(argv)
 
     spec = load_spec(args.spec)
@@ -76,7 +85,10 @@ def main(argv: list[str] | None = None) -> int:
         partition_cols=[c for c in args.partition_cols.split(",") if c],
     )
     manifest = Manifest(args.manifest) if args.manifest else None
-    res = eng.run(df, dims=dims, manifest=manifest)
+    if args.mode == "single-pass":
+        res = eng.run_single_pass(df, args.out, dims=dims, manifest=manifest)
+    else:
+        res = eng.run(df, dims=dims, manifest=manifest)
     eng.write_results(res, args.out)
 
     verdicts = res.verdicts.collect()

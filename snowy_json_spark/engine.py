@@ -208,26 +208,9 @@ class ValidationEngine:
         ``isin`` filter on the partition-key expression, pushed to the
         scan."""
         spark = df.sparkSession
-        skipped: list[str] = []
-        if manifest is not None and self.partition_cols:
-            keyx = partition_key_expr(self.partition_cols)
-            all_keys = [
-                r["k"] for r in df.select(keyx.alias("k")).distinct().collect()
-            ]
-            done = manifest.validated_keys(spark, self.spec)
-            pending = [k for k in all_keys if k not in done]
-            skipped = sorted(set(all_keys) & done)
-            if not pending:
-                empty_v = spark.createDataFrame(
-                    [], self._verdict_schema(df)
-                )
-                return ValidationResult(
-                    verdicts=empty_v,
-                    violations=spark.createDataFrame([], self._violation_schema(df)),
-                    table_violations=None,
-                    skipped_partitions=skipped,
-                )
-            df = df.filter(keyx.isin(pending))
+        df, skipped, empty = self._apply_resume(df, manifest)
+        if empty is not None:
+            return empty
 
         plan = self.compile(df)
         if self.partition_cols:
@@ -241,25 +224,7 @@ class ValidationEngine:
             df, dims or {}, snapshot
         )
 
-        if manifest is not None and self.partition_cols:
-            vrows = verdicts.collect()
-            keyed = []
-            for r in vrows:
-                key = "|".join(
-                    str(r[c]) if r[c] is not None else "∅" for c in self.partition_cols
-                )
-                keyed.append(
-                    {
-                        "partition_key": key,
-                        "lineage_hash": lineage_hash(self.spec, key),
-                        "status": "validated",
-                        "row_count": r["row_count"],
-                        "failed_rows": r["failed_rows"],
-                        "passed": r["passed"],
-                    }
-                )
-            manifest.append(spark, keyed)
-            verdicts = spark.createDataFrame(vrows, verdicts.schema)
+        verdicts = self._record_manifest(spark, verdicts, manifest)
 
         return ValidationResult(
             verdicts=verdicts,
@@ -271,12 +236,64 @@ class ValidationEngine:
         )
 
     # ------------------------------------------------------------------
+    def _apply_resume(
+        self, df: DataFrame, manifest: Manifest | None
+    ) -> tuple[DataFrame, list[str], ValidationResult | None]:
+        """Resume = partition pruning: pending partitions become an
+        ``isin`` filter on the partition-key expression, pushed to the
+        scan.  Returns (filtered df, skipped keys, early-exit result)."""
+        if manifest is None or not self.partition_cols:
+            return df, [], None
+        spark = df.sparkSession
+        keyx = partition_key_expr(self.partition_cols)
+        all_keys = [r["k"] for r in df.select(keyx.alias("k")).distinct().collect()]
+        done = manifest.validated_keys(spark, self.spec)
+        pending = [k for k in all_keys if k not in done]
+        skipped = sorted(set(all_keys) & done)
+        if not pending:
+            empty = ValidationResult(
+                verdicts=spark.createDataFrame([], self._verdict_schema(df)),
+                violations=spark.createDataFrame([], self._violation_schema(df)),
+                table_violations=None,
+                skipped_partitions=skipped,
+            )
+            return df, skipped, empty
+        return df.filter(keyx.isin(pending)), skipped, None
+
+    def _record_manifest(
+        self, spark: SparkSession, verdicts: DataFrame, manifest: Manifest | None
+    ) -> DataFrame:
+        """Append per-partition lineage records; returns the verdicts
+        re-wrapped from the collected rows so they aren't recomputed."""
+        if manifest is None or not self.partition_cols:
+            return verdicts
+        vrows = verdicts.collect()
+        keyed = []
+        for r in vrows:
+            key = "|".join(
+                str(r[c]) if r[c] is not None else "∅" for c in self.partition_cols
+            )
+            keyed.append(
+                {
+                    "partition_key": key,
+                    "lineage_hash": lineage_hash(self.spec, key),
+                    "status": "validated",
+                    "row_count": r["row_count"],
+                    "failed_rows": r["failed_rows"],
+                    "passed": r["passed"],
+                }
+            )
+        manifest.append(spark, keyed)
+        return spark.createDataFrame(vrows, verdicts.schema)
+
+    # ------------------------------------------------------------------
     def run_single_pass(
         self,
         df: DataFrame,
         out_dir: str,
         dims: dict[str, DataFrame] | None = None,
         snapshot: dict | None = None,
+        manifest: Manifest | None = None,
     ) -> ValidationResult:
         """One scan of the source table, period.
 
@@ -291,6 +308,9 @@ class ValidationEngine:
         from .sources.tables import write_table
 
         spark = df.sparkSession
+        df, skipped, empty = self._apply_resume(df, manifest)
+        if empty is not None:
+            return empty
         plan = self.compile(df)
         valid = F.coalesce(plan.valid, F.lit(False))
 
@@ -365,12 +385,14 @@ class ValidationEngine:
         table_viol, drift_out, stats_out = self._run_table_checks(
             back, dims or {}, snapshot, table_checks=checks_for_back
         )
+        verdicts = self._record_manifest(spark, verdicts, manifest)
         return ValidationResult(
             verdicts=verdicts,
             violations=viols,
             table_violations=table_viol,
             drift=drift_out,
             stats=stats_out,
+            skipped_partitions=skipped,
         )
 
     # ------------------------------------------------------------------

@@ -473,14 +473,85 @@ def simhash64_udf():
     return F.pandas_udf(batch, LongType())
 
 
-def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+#: fixed word-byte width for the vectorized FNV word hash: words are
+#: truncated/zero-padded to this many bytes so a word hashes identically
+#: in every document and Arrow batch
+_SIMHASH_WORD_BYTES = 24
+
+
+def simhash_text_udf():
+    """SimHash straight from normalized text (Arrow-batched numpy) —
+    the fast path, same pattern as :func:`minhash_text_udf`.
+
+    Round-1 perf finding: the previous default tokenized and hashed
+    words through interpreted JVM higher-order functions and shipped the
+    full per-word hash array over Arrow.  Here one string per row
+    crosses Arrow; words are packed into a (n_words × 24) byte matrix
+    and hashed with 64-bit FNV-1a in 24 vectorized passes (crc32 was
+    rejected: CRC linearity makes any two same-data crc variants differ
+    by a length-only constant, collapsing the family to 32 independent
+    bits), then the bit votes are one numpy matrix op per document."""
+    powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    shifts = np.arange(64, dtype=np.uint64)[None, :]
+    fnv_prime = np.uint64(1099511628211)
+    fnv_offset = np.uint64(14695981039346656037)
+    W = _SIMHASH_WORD_BYTES
+
+    def batch(texts: pd.Series) -> pd.Series:
+        # per-document numpy (NOT one batch-wide matrix: total_words×64
+        # of int64 is gigabytes on long-document batches — measured 25×
+        # slower from allocator pressure when tried)
+        out = np.zeros(len(texts), dtype=np.int64)
+        for idx, s in enumerate(texts):
+            if s is None:
+                continue
+            toks = [t[:W] for t in s.encode("utf-8", "ignore").split(b" ") if t]
+            if not toks:
+                continue
+            buf = b"".join(t.ljust(W, b"\0") for t in toks)
+            m = np.frombuffer(buf, dtype=np.uint8).reshape(-1, W).astype(np.uint64)
+            h = np.full(len(toks), fnv_offset, dtype=np.uint64)
+            for j in range(W):
+                h = (h ^ m[:, j]) * fnv_prime  # uint64 wrap = mod 2^64
+            bits = (h[:, None] >> shifts) & np.uint64(1)
+            votes = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
+            # distinct powers → the sum IS the bit-OR, exact in uint64
+            out[idx] = ((votes > 0).astype(np.uint64) * powers).sum().astype(np.int64)
+        return pd.Series(out)
+
+    return F.pandas_udf(batch, LongType())
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, impl: str = "hybrid"
+) -> DataFrame:
+    """Two implementations, measured (5k docs × ~6 KB, min-of-3 warm,
+    local[4] throttled sandbox):
+
+    - ``hybrid`` (default, 1.44 s): JVM tokenize + xxhash64 per word
+      (interpreted HOF), per-doc hash arrays over Arrow, numpy bit
+      votes.  The round-1 review predicted the minhash char-shingle HOF
+      penalty (~5×) here too; measurement says ~1.2× at WORD granularity
+      — per-word JVM work is one xxhash64, not k substr+hash calls, so
+      the HOF interpreter overhead stays small.
+    - ``arrow`` (1.70 s): text-in numpy UDF (minhash_text_udf pattern) —
+      one string per row over Arrow, FNV-1a word hashing in 24
+      vectorized byte passes.  Python-side tokenization eats what the
+      HOF removal saves; kept for Arrow-worker-rich clusters and as the
+      no-HOF fallback.
+
+    Both are deterministic across workers and retries."""
+    base = ensure_parallelism(df)
+    if impl == "arrow":
+        return base.select(
+            F.col(id_col),
+            simhash_text_udf()(normalized_text(F.col(text_col))).alias("simhash"),
+        )
     words = F.filter(
         F.split(normalized_text(F.col(text_col)), " "), lambda w: w != ""
     )
     hashes = F.transform(words, lambda w: F.xxhash64(w))
-    return ensure_parallelism(df).select(
-        F.col(id_col), simhash64_udf()(hashes).alias("simhash")
-    )
+    return base.select(F.col(id_col), simhash64_udf()(hashes).alias("simhash"))
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -490,19 +561,32 @@ def hamming64(a: Column, b: Column) -> Column:
 def simhash_near_duplicates(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
-    """Banded SimHash: 4 bands of 16 bits — a pair within Hamming ≤3 of
-    64 bits must agree on ≥1 full band (pigeonhole), so candidates =
-    equal band value; verify by exact Hamming distance."""
+    """Banded SimHash with the pigeonhole guarantee: the 64 bits are cut
+    into ``max_hamming + 1`` equal-ish slices, so any pair within
+    ``max_hamming`` Hamming distance agrees exactly on ≥1 slice and
+    becomes a candidate (verified by exact Hamming afterwards).
+
+    Round-1 used a fixed 4×16 banding, which only guarantees recall for
+    Hamming ≤3 — larger radii silently missed pairs.  Scale note: wider
+    radii mean narrower band keys (64/(h+1) bits) and therefore larger
+    buckets; at web scale keep max_hamming ≤3-4 (13-16-bit keys) or
+    widen the fingerprint."""
+    n_bands = max_hamming + 1
+    bounds = [i * 64 // n_bands for i in range(n_bands + 1)]
     sigs = simhash_signatures(df, id_col, text_col).cache()
+
+    def band_key(i: int):
+        width = bounds[i + 1] - bounds[i]
+        if width >= 64:
+            return F.col("simhash")
+        return F.shiftright(F.col("simhash"), bounds[i]).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+
     bands = F.array(
         *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.shiftright(F.col("simhash"), i * 16)
-                .bitwiseAND(F.lit((1 << 16) - 1))
-                .alias("key"),
-            )
-            for i in range(4)
+            F.struct(F.lit(i).alias("band"), band_key(i).alias("key"))
+            for i in range(n_bands)
         ]
     )
     exploded = sigs.select(id_col, "simhash", F.explode(bands).alias("b")).select(

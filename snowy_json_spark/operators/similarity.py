@@ -20,6 +20,7 @@ Also: pairwise cosine near-duplicate detection for the dedup suite
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -190,12 +191,53 @@ def _nearest_cell_expr(vec_col: Column, centroids: np.ndarray) -> Column:
     return best_idx
 
 
-def with_ivf_cell(df: DataFrame, vec_col: str, centroids: np.ndarray) -> DataFrame:
+def _nearest_cell_udf(centroids: np.ndarray):
+    """Vectorized cell assignment: one (batch × cells) matmul per Arrow
+    batch against the closure-captured centroid matrix.
+
+    Plan size is O(1) in n_cells — the chained-`when` Column path
+    (:func:`_nearest_cell_expr`) duplicates the dot product per cell and
+    explodes past a few dozen cells, a round-1 scale finding.  Same
+    argmax tie-breaking (first maximum) as the expression path."""
+    from pyspark.sql.types import IntegerType
+
+    c = centroids.astype(np.float64)
+    half = (c * c).sum(axis=1) / 2.0
+
+    def batch(vecs: pd.Series) -> pd.Series:
+        res = np.full(len(vecs), -1, dtype=np.int32)
+        idxs = [i for i, v in enumerate(vecs) if v is not None]
+        if idxs:
+            m = np.array(
+                [np.asarray(vecs.iloc[i], dtype=np.float64) for i in idxs]
+            )
+            res[np.asarray(idxs)] = (m @ c.T - half[None, :]).argmax(axis=1)
+        return pd.Series(res)
+
+    return F.pandas_udf(batch, IntegerType())
+
+
+#: above this cell count the Column-expression path's plan gets deeper
+#: than codegen handles gracefully; switch to the Arrow argmax UDF
+IVF_EXPR_MAX_CELLS = 32
+
+
+def with_ivf_cell(
+    df: DataFrame, vec_col: str, centroids: np.ndarray, impl: str = "auto"
+) -> DataFrame:
     """Assign each row its IVF cell.  On Iceberg this column becomes a
-    partition key so probes prune at the scan."""
-    return df.withColumn(
-        "ivf_cell", _nearest_cell_expr(F.col(vec_col).cast("array<double>"), centroids)
-    )
+    partition key so probes prune at the scan.
+
+    ``auto``: pure Column expressions up to IVF_EXPR_MAX_CELLS cells
+    (zero Python), numpy argmax pandas UDF beyond (bounded plan size at
+    the 1k-4k cells a 100-TB corpus needs)."""
+    if impl == "auto":
+        impl = "expr" if len(centroids) <= IVF_EXPR_MAX_CELLS else "arrow"
+    if impl == "expr":
+        cell = _nearest_cell_expr(F.col(vec_col).cast("array<double>"), centroids)
+    else:
+        cell = _nearest_cell_udf(centroids)(F.col(vec_col))
+    return df.withColumn("ivf_cell", cell)
 
 
 def ivf_topk(

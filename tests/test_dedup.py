@@ -90,11 +90,36 @@ def test_minhash_estimates_track_exact_jaccard(spark, docs):
 def test_simhash(spark, docs):
     sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs, "doc_id", "text").collect()}
     assert sigs[1] == sigs[2] == sigs[3]
-    nd = simhash_near_duplicates(docs, "doc_id", "text", max_hamming=8).collect()
+    # pigeonhole banding: every pair within the radius must be found
+    # (one-word change in 9 words → expected Hamming ≈ 16 on 64 bits)
+    nd = simhash_near_duplicates(docs, "doc_id", "text", max_hamming=16).collect()
     pairs = {(r["id_a"], r["id_b"]) for r in nd}
     assert (1, 2) in pairs
-    assert (1, 4) in pairs  # one-word change → small hamming distance
+    assert (1, 4) in pairs  # one-word change
     assert not any(5 in p or 6 in p for p in pairs if p != (5, 6))
+    ham = {(r["id_a"], r["id_b"]): r["hamming"] for r in nd}
+    assert ham[(1, 2)] == 0
+
+
+def test_simhash_arrow_matches_banding_guarantee(spark, docs):
+    """Exact-duplicate recall must be perfect at any radius."""
+    nd = simhash_near_duplicates(docs, "doc_id", "text", max_hamming=0).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in nd}
+    assert {(1, 2), (1, 3), (2, 3)} <= pairs
+
+
+def test_simhash_arrow_impl_properties(spark, docs):
+    """The text-in numpy implementation (different hash family) must
+    satisfy the same invariants: normalized dups identical, unrelated
+    docs far apart."""
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_signatures(docs, "doc_id", "text", impl="arrow").collect()
+    }
+    assert sigs[1] == sigs[2] == sigs[3]
+    far = bin(sigs[1] ^ sigs[5]).count("1")
+    near = bin(sigs[1] ^ sigs[4]).count("1")
+    assert near < far
 
 
 def test_cosine_near_duplicates(spark):

@@ -54,3 +54,33 @@ def test_ivf_exact_when_probing_all_cells(spark, embeddings, centroids):
     exact = [r["vec_id"] for r in brute_force_topk(embeddings, "embedding", q, k=5).collect()]
     full = [r["vec_id"] for r in ivf_topk(celled, "embedding", q, centroids, k=5, n_probe=8).collect()]
     assert full == exact
+
+
+def test_arrow_cell_assignment_matches_expr(spark, embeddings, centroids):
+    """The Arrow argmax path must agree cell-for-cell with the tested
+    Column-expression path (same argmin, same first-max tie-break)."""
+    expr = with_ivf_cell(embeddings, "embedding", centroids, impl="expr")
+    arrow = with_ivf_cell(embeddings, "embedding", centroids, impl="arrow")
+    e = {r["vec_id"]: r["ivf_cell"] for r in expr.collect()}
+    a = {r["vec_id"]: r["ivf_cell"] for r in arrow.collect()}
+    assert e == a
+
+
+def test_ivf_many_cells_bounded_plan_and_recall(spark, embeddings):
+    """64 cells auto-selects the Arrow path: the plan stays bounded (one
+    UDF eval instead of 64 chained dot products) and recall holds."""
+    cents = train_ivf_centroids(embeddings, "embedding", n_cells=64)
+    celled = with_ivf_cell(embeddings, "embedding", cents)  # auto → arrow
+    plan = celled._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan or "pythonUDF" in plan
+    celled = celled.cache()
+    hits = 0
+    queries = [list(r["embedding"]) for r in embeddings.take(5)]
+    for q in queries:
+        exact = {r["vec_id"] for r in brute_force_topk(embeddings, "embedding", q, k=5).collect()}
+        approx = {
+            r["vec_id"]
+            for r in ivf_topk(celled, "embedding", q, cents, k=5, n_probe=16).collect()
+        }
+        hits += len(exact & approx)
+    assert hits / 25 >= 0.5, f"64-cell IVF recall too low: {hits / 25}"

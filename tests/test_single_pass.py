@@ -60,6 +60,21 @@ def test_single_pass_matches_run(spark, pages, tmp_path):
     assert single.stats  # column_stats actually ran
 
 
+def test_single_pass_resume(spark, pages, tmp_path):
+    from snowy_json_spark.streaming.manifest import Manifest
+
+    eng = ValidationEngine(SPEC, id_cols=["url"], partition_cols=["lang"])
+    dims = {"lang_ref": lang_ref(spark)}
+    m = Manifest(str(tmp_path / "manifest"))
+    r1 = eng.run_single_pass(pages, str(tmp_path / "o1"), dims=dims, manifest=m)
+    n1 = r1.verdicts.count()
+    assert r1.skipped_partitions == [] and n1 > 0
+    # re-submission: every partition already validated → all pruned
+    r2 = eng.run_single_pass(pages, str(tmp_path / "o2"), dims=dims, manifest=m)
+    assert r2.verdicts.count() == 0
+    assert len(r2.skipped_partitions) == n1
+
+
 def test_flagged_table_is_narrow(spark, pages, tmp_path):
     eng = ValidationEngine(SPEC, id_cols=["url"], partition_cols=["lang"])
     eng.run_single_pass(pages, str(tmp_path / "o2"), dims={"lang_ref": lang_ref(spark)})
