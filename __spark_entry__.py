@@ -370,6 +370,42 @@ def _q_combinators_documents(spark, sf_dir):
     )
 
 
+OBJECT_SPEC = {
+    "properties": {
+        "m": {
+            "required": ["lang"],
+            "dependentRequired": {"lang": ["source"]},
+            "patternProperties": {"^l": {"pattern": "^[a-z]{2}$"}},
+            "propertyNames": {"maxLength": 5},
+            "minProperties": 2,
+        }
+    }
+}
+
+
+def _q_object_keywords_documents(spark, sf_dir):
+    """§2.3 object applicators over an open (map-typed) object built
+    from document fields; null values = absent members."""
+    df = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.create_map(
+            F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+        ).alias("m"),
+    )
+    p = "#/properties/m"
+    return _leaf_failure_counts(
+        df,
+        OBJECT_SPEC,
+        {
+            f"{p}/required": "required_failed",
+            f"{p}/dependentRequired/lang": "dep_req_failed",
+            f"{p}/patternProperties/^l": "pat_props_failed",
+            f"{p}/propertyNames": "prop_names_failed",
+            f"{p}/minProperties": "min_props_failed",
+        },
+    )
+
+
 ANNOTATED_SPEC = {
     "title": "documents",
     "properties": {
@@ -601,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combinators_documents": _q_combinators_documents,
         "format_keywords_documents": _q_format_keywords_documents,
         "annotations_documents": _q_annotations_documents,
+        "object_keywords_documents": _q_object_keywords_documents,
         # rows-only (LSH / pandas-UDF paths; no SQL equivalent)
         "minhash_near_dups_documents": _q_minhash_near_dups_documents,
         "simhash_near_dups_documents": _q_simhash_near_dups_documents,
@@ -728,6 +765,17 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "format_keywords_documents": _format_oracle_sql(),
+        "object_keywords_documents": """
+            SELECT COUNT(*) AS n_rows,
+              CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS required_failed,
+              CAST(SUM(CASE WHEN lang IS NOT NULL AND source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS dep_req_failed,
+              CAST(SUM(CASE WHEN lang IS NOT NULL AND NOT regexp_matches(lang, '^[a-z]{2}$') THEN 1 ELSE 0 END) AS BIGINT) AS pat_props_failed,
+              CAST(SUM(CASE WHEN source IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS prop_names_failed,
+              CAST(SUM(CASE WHEN (CASE WHEN lang IS NOT NULL THEN 1 ELSE 0 END)
+                              + (CASE WHEN source IS NOT NULL THEN 1 ELSE 0 END) < 2
+                            THEN 1 ELSE 0 END) AS BIGINT) AS min_props_failed
+            FROM documents
+        """,
         "annotations_documents": """
             WITH b AS (SELECT
                 (lang IS NULL OR regexp_matches(lang, '^[a-z]{2}$')) AS lang_vac,

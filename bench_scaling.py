@@ -30,7 +30,7 @@ import sys
 import tempfile
 
 WORKER = r"""
-import json, sys, time
+import json, shutil, sys, time
 from pyspark.sql import functions as F
 from snowy_json_spark.session import get_spark
 from snowy_json_spark.engine import ValidationEngine
@@ -49,8 +49,12 @@ times = []
 for i in range(reps):
     if i > 0 and cooldown:
         time.sleep(cooldown)  # let the sandbox CPU-burst budget refill
+    out_dir = f"/tmp/scaling_out_{cores}"
+    shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.monotonic()
-    res = eng.run(pages, dims=dims)
+    # the shipped flagship path: one source scan -> flagged table,
+    # all downstream checks read the narrow projection
+    res = eng.run_single_pass(pages, out_dir, dims=dims)
     res.verdicts.agg(F.sum("row_count")).collect()
     res.violations.count()
     res.table_violations.count()

@@ -68,10 +68,46 @@ def duplicate_keys_salted(
     )
 
 
-def uniqueness_violations(df: DataFrame, keys: list[str], constraint_id: str) -> DataFrame:
+def duplicate_keys_hashed(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Hash-first duplicate detection for wide/high-cardinality keys
+    (e.g. urls): identical output to :func:`duplicate_keys`, a fraction
+    of the shuffle bytes.
+
+    Stage 1 shuffles only (xxhash64(keys), partial count) — 16 bytes a
+    row instead of the full key string (~5× less shuffle IO on urls; at
+    32M rows this shuffle was the measured non-scaling fraction of the
+    single-pass job).  Stage 2 re-reads only rows whose hash is a
+    duplicate candidate (dup rate ≪ 1% in validation workloads, plus a
+    ~n²/2⁶⁴ sliver of hash collisions) via a broadcast semi-join and
+    verifies on the true keys, so collisions can never produce a false
+    duplicate."""
+    h = F.xxhash64(*[F.col(k) for k in keys]).alias("_h")
+    cand = (
+        df.select(h)
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1)
+        .select("_h")
+    )
+    cand_rows = df.select(*keys, h).join(F.broadcast(cand), "_h")
+    return (
+        cand_rows.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def uniqueness_violations(
+    df: DataFrame, keys: list[str], constraint_id: str, strategy: str = "hashed"
+) -> DataFrame:
     """Violation rows in the engine's standard shape: one row per
-    duplicated key value."""
-    dups = duplicate_keys(df, keys)
+    duplicated key value.  ``hashed`` (default) minimizes shuffle bytes
+    on string keys; ``plain`` is the one-shuffle original."""
+    dups = (
+        duplicate_keys_hashed(df, keys)
+        if strategy == "hashed"
+        else duplicate_keys(df, keys)
+    )
     key_repr = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
     return dups.select(
         *keys,

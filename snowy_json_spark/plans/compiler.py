@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import decimal
 import json
+import re
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -78,6 +79,15 @@ _TIMESTAMPS = (TimestampType, TimestampNTZType)  # NTZ = Spark 4 parquet default
 
 class SpecError(ValueError):
     """Compile-time spec diagnostic (Snow: MalformedSchemaException)."""
+
+
+# RFC 2045 media-type syntax incl. parameters
+# (ContentMediaType.java:49-53's CONTENT_TYPE pattern)
+_MT_TOKEN = r"[!#$%&'*+\-.0-9A-Z^_`a-z{|}~]+"
+_MEDIA_TYPE_RE = re.compile(
+    rf"^({_MT_TOKEN}/{_MT_TOKEN})"
+    rf"(?:\s*;\s*{_MT_TOKEN}=(?:{_MT_TOKEN}|\"(?:[ !#-~]|\\[\x00-\x7f])*\"))*\s*$"
+)
 
 
 @dataclass
@@ -122,13 +132,21 @@ class Options:
     #: FORMAT option / format vocabulary enables it — Options.java:51-52,
     #: Format.java:248-259).  True/False force it either way.
     assert_format: bool | None = None
-    assert_content: bool = True  # ContentEncoding Draft-07 + CONTENT option
+    #: None = draft-dependent: content* assert ONLY under Draft-07 (the
+    #: CONTENT option; 2019-09 made them annotation-only and <07 lacks
+    #: them — ContentMediaType.java:63-65,81-82).
+    assert_content: bool | None = None
     max_recursion_depth: int = 16  # $recursiveRef unrolling cap
 
     def format_asserts(self) -> bool:
         if self.assert_format is None:
             return self.spec_version != "2019-09"
         return self.assert_format
+
+    def content_asserts(self) -> bool:
+        if self.assert_content is None:
+            return self.spec_version == "draft-07"
+        return self.assert_content
 
 
 def _detect_spec_version(spec: dict) -> str | None:
@@ -305,6 +323,8 @@ class Compiler:
         "readOnly",
         "writeOnly",
         "contentSchema",
+        "contentEncoding",
+        "contentMediaType",
     )
 
     def __init__(
@@ -862,7 +882,7 @@ class Compiler:
         add("format", F.when(inst.col.isNotNull(), chk).otherwise(True))
 
     def _kw_contentEncoding(self, node, value, inst, path, add, *rest):
-        if not self.options.assert_content or not self._string_kw(inst):
+        if not self.options.content_asserts() or not self._string_kw(inst):
             return
         if value != "base64":
             return  # only base64 is checked (Strings.java:245-289)
@@ -872,22 +892,28 @@ class Compiler:
         add("contentEncoding", F.when(col.isNotNull(), cond).otherwise(True))
 
     def _kw_contentMediaType(self, node, value, inst, path, add, *rest):
-        if not self.options.assert_content or not self._string_kw(inst):
-            return
         if not isinstance(value, str):
             raise SpecError(f"{path}/contentMediaType must be a string")
+        if not self.options.content_asserts() or not self._string_kw(inst):
+            return
         col = inst.col
+        m = _MEDIA_TYPE_RE.match(value)
+        if m is None:
+            # malformed media-type syntax: the check fails for every
+            # string instance (ContentMediaType.java:117-119 — covers
+            # ALL media types, not just application/json)
+            add("contentMediaType", F.when(col.isNotNull(), F.lit(False)).otherwise(True))
+            return
         if node.get("contentEncoding") == "base64":
             decoded = F.unbase64(col).cast("string")
         else:
             decoded = col
-        if value.lower() == "application/json":
+        if m.group(1).lower() == "application/json":
             # parse check (ContentMediaType.java:96-115); try_parse_json
             # returns null on malformed input (Spark 4 variant)
             cond = F.try_parse_json(decoded).isNotNull()
-        else:
-            return  # other media types: syntax validated at compile time
-        add("contentMediaType", F.when(col.isNotNull(), cond).otherwise(True))
+            add("contentMediaType", F.when(col.isNotNull(), cond).otherwise(True))
+        # other well-formed media types: syntax-only, no instance check
 
     # ==================================================================
     # §2.3 object applicators

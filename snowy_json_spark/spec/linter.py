@@ -57,7 +57,17 @@ def _num(v: Any) -> bool:
 
 def lint(spec: Any, path: str = "#") -> list[Diagnostic]:
     out: list[Diagnostic] = []
-    _walk(spec, path, out)
+    draft = None
+    if isinstance(spec, dict):
+        s = spec.get("$schema")
+        if isinstance(s, str):
+            if "2019-09" in s:
+                draft = "2019-09"
+            elif "draft-07" in s:
+                draft = "draft-07"
+            elif "draft-06" in s:
+                draft = "draft-06"
+    _walk(spec, path, out, draft)
     return out
 
 
@@ -69,7 +79,7 @@ def _warn(out, path, kw, msg):
     out.append(Diagnostic(f"{path}/{kw}", "warn", msg))
 
 
-def _walk(node: Any, path: str, out: list[Diagnostic]) -> None:
+def _walk(node: Any, path: str, out: list[Diagnostic], draft: str | None = None) -> None:
     if isinstance(node, bool) or node is None:
         return
     if not isinstance(node, dict):
@@ -145,36 +155,88 @@ def _walk(node: Any, path: str, out: list[Diagnostic]) -> None:
     if "if" in node and "then" not in node and "else" not in node:
         _warn(out, path, "if", "if without then/else asserts nothing")
 
+    # ---- meta-schema shape rules (CoreSchema meta-validation analog) ------
+    for kw in ("$ref", "$anchor", "$comment", "$schema", "contentEncoding",
+               "contentMediaType"):
+        v = node.get(kw)
+        if v is not None and not isinstance(v, str):
+            _err(out, path, kw, f"{kw} must be a string")
+    if isinstance(node.get("contentMediaType"), str):
+        from ..plans.compiler import _MEDIA_TYPE_RE
+
+        if not _MEDIA_TYPE_RE.match(node["contentMediaType"]):
+            _err(out, path, "contentMediaType",
+                 f"invalid media-type syntax: {node['contentMediaType']!r}")
+    for kw in ("uniqueItems", "deprecated", "readOnly", "writeOnly",
+               "$recursiveAnchor"):
+        v = node.get(kw)
+        if v is not None and not isinstance(v, bool):
+            _err(out, path, kw, f"{kw} must be a boolean")
+    dr = node.get("dependentRequired")
+    if dr is not None:
+        if not isinstance(dr, dict) or not all(
+            isinstance(v, list) and all(isinstance(x, str) for x in v)
+            for v in dr.values()
+        ):
+            _err(out, path, "dependentRequired",
+                 "dependentRequired must map names to string arrays")
+    for kw in ("exclusiveMinimum", "exclusiveMaximum"):
+        if isinstance(node.get(kw), bool):
+            _err(out, path, kw,
+                 f"boolean {kw} is draft-04 syntax (unsupported); use a number")
+    if isinstance(node.get("enum"), list):
+        seen = []
+        for v in node["enum"]:
+            if v in seen:
+                _warn(out, path, "enum", f"duplicate enum member {v!r}")
+                break
+            seen.append(v)
+    items = node.get("items")
+    if items is not None and not isinstance(items, (dict, bool, list)):
+        _err(out, path, "items", "items must be a schema or array of schemas")
+
+    # ---- draft mismatches ---------------------------------------------------
+    if draft in ("draft-06", "draft-07"):
+        for kw in ("dependentRequired", "dependentSchemas",
+                   "unevaluatedProperties", "unevaluatedItems",
+                   "$recursiveRef", "$recursiveAnchor", "$anchor",
+                   "maxContains", "minContains"):
+            if kw in node:
+                _warn(out, path, kw, f"{kw} is a 2019-09 keyword under {draft}")
+    if draft == "2019-09" and "dependencies" in node:
+        _warn(out, path, "dependencies",
+              "dependencies was split into dependentRequired/dependentSchemas in 2019-09")
+
     # ---- recurse ----------------------------------------------------------
     for kw in ("properties", "patternProperties", "dependentSchemas", "$defs", "definitions"):
         for name, sub in (node.get(kw) or {}).items():
-            _walk(sub, f"{path}/{kw}/{name}", out)
+            _walk(sub, f"{path}/{kw}/{name}", out, draft)
     for kw in ("items",):
         v = node.get(kw)
         if isinstance(v, list):
             for i, sub in enumerate(v):
-                _walk(sub, f"{path}/{kw}/{i}", out)
+                _walk(sub, f"{path}/{kw}/{i}", out, draft)
         elif v is not None:
-            _walk(v, f"{path}/{kw}", out)
+            _walk(v, f"{path}/{kw}", out, draft)
     for kw in ("additionalItems", "additionalProperties", "propertyNames", "contains",
                "not", "if", "then", "else", "unevaluatedItems", "unevaluatedProperties",
                "contentSchema"):
         if kw in node and not isinstance(node[kw], bool):
-            _walk(node[kw], f"{path}/{kw}", out)
+            _walk(node[kw], f"{path}/{kw}", out, draft)
     for kw in ("allOf", "anyOf", "oneOf"):
         v = node.get(kw)
         if isinstance(v, list):
             if not v:
                 _err(out, path, kw, f"{kw} must be a non-empty array")
             for i, sub in enumerate(v):
-                _walk(sub, f"{path}/{kw}/{i}", out)
+                _walk(sub, f"{path}/{kw}/{i}", out, draft)
         elif v is not None:
             _err(out, path, kw, f"{kw} must be an array")
     deps = node.get("dependencies")
     if isinstance(deps, dict):
         for name, sub in deps.items():
             if not isinstance(sub, list):
-                _walk(sub, f"{path}/dependencies/{name}", out)
+                _walk(sub, f"{path}/dependencies/{name}", out, draft)
 
 
 def errors(spec: Any) -> list[Diagnostic]:

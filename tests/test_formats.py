@@ -145,6 +145,8 @@ def test_content_encoding_and_media_type(spark):
         [("eyJhIjogMX0=",), ("not base64!!",)], "s string"
     )  # first decodes to {"a": 1}
     spec = {
+        # content* assert only under Draft-07 (ContentMediaType.java:81-82)
+        "$schema": "http://json-schema.org/draft-07/schema#",
         "properties": {
             "s": {"contentEncoding": "base64", "contentMediaType": "application/json"}
         }
@@ -152,3 +154,26 @@ def test_content_encoding_and_media_type(spark):
     plan = compile_spec(spec, df.schema)
     got = [r["passed"] for r in with_verdict(df, plan).collect()]
     assert got == [True, False]
+
+
+def test_content_media_type_syntax_and_draft_gating(spark):
+    df = spark.createDataFrame([("anything",)], "s string")
+    # malformed media-type syntax fails every string instance (draft-07)
+    bad = {
+        "$schema": "http://json-schema.org/draft-07/schema#",
+        "properties": {"s": {"contentMediaType": "not a media type"}},
+    }
+    plan = compile_spec(bad, df.schema)
+    assert with_verdict(df, plan).collect()[0]["passed"] is False
+    # well-formed non-JSON media type: syntax-only, instance passes
+    ok = {
+        "$schema": "http://json-schema.org/draft-07/schema#",
+        "properties": {"s": {"contentMediaType": "image/png; name=\"x\""}},
+    }
+    plan = compile_spec(ok, df.schema)
+    assert with_verdict(df, plan).collect()[0]["passed"] is True
+    # 2019-09: annotation-only, even malformed syntax does not assert
+    plan = compile_spec(
+        {"properties": {"s": {"contentMediaType": "not a media type"}}}, df.schema
+    )
+    assert with_verdict(df, plan).collect()[0]["passed"] is True

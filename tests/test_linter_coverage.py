@@ -92,3 +92,44 @@ def test_coverage_report(spark):
     assert rep["#/properties/b/maxLength"] == 0
     unex = unexercised_constraints(spark, plan, v)
     assert "#/required" in unex and "#/properties/a/minimum" not in unex
+
+
+def test_lint_meta_schema_shapes():
+    """Meta-schema analog rules (CoreSchema.java:103-132 closes the same
+    loop by validating the schema against the draft meta-schema)."""
+    diags = lint(
+        {
+            "$ref": 5,
+            "uniqueItems": "yes",
+            "dependentRequired": {"a": "b"},
+            "exclusiveMinimum": True,
+            "contentMediaType": "not a media type",
+            "items": 3,
+        }
+    )
+    msgs = {d.path: d.severity for d in diags}
+    assert msgs["#/$ref"] == "error"
+    assert msgs["#/uniqueItems"] == "error"
+    assert msgs["#/dependentRequired"] == "error"
+    assert msgs["#/exclusiveMinimum"] == "error"
+    assert msgs["#/contentMediaType"] == "error"
+    assert msgs["#/items"] == "error"
+
+
+def test_lint_draft_mismatches():
+    d7 = {
+        "$schema": "http://json-schema.org/draft-07/schema#",
+        "properties": {"x": {"dependentRequired": {"a": ["b"]}}},
+    }
+    warns = [d for d in lint(d7) if d.severity == "warn"]
+    assert any("2019-09 keyword" in d.message for d in warns)
+    d19 = {
+        "$schema": "https://json-schema.org/draft/2019-09/schema",
+        "dependencies": {"a": ["b"]},
+    }
+    warns = [d for d in lint(d19) if d.severity == "warn"]
+    assert any("dependentRequired" in d.message for d in warns)
+
+
+def test_lint_valid_media_type_passes():
+    assert lint({"contentMediaType": "application/json; charset=utf-8"}) == []

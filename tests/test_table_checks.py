@@ -29,6 +29,7 @@ from snowy_json_spark.operators.stats import (
 )
 from snowy_json_spark.operators.uniqueness import (
     duplicate_keys,
+    duplicate_keys_hashed,
     duplicate_keys_salted,
     distinct_rate,
 )
@@ -80,6 +81,11 @@ def test_duplicate_keys_and_salted_equivalence(spark):
     }
     assert plain == {("u1", 3), ("u2", 2)}
     assert salted == plain
+    hashed = {
+        (r["url"], r["dup_count"])
+        for r in duplicate_keys_hashed(df, ["url"]).collect()
+    }
+    assert hashed == plain
 
 
 def test_distinct_rate(spark):
