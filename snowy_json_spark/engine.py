@@ -84,6 +84,18 @@ class ValidationEngine:
         return compile_spec(self.spec, df.schema, self.options)
 
     # ------------------------------------------------------------------
+    def annotations(self, df: DataFrame) -> DataFrame:
+        """processAnnotations analog at the engine surface: one row per
+        (row, applied annotation) — (id cols..., instance_path, name,
+        constraint_id, value_json), sorted like `Results.java:107-123`."""
+        from .plans.report import ANNOTATION_COLUMNS, annotations
+
+        plan = self.compile(df)
+        return annotations(df, plan, self.id_cols).orderBy(
+            *self.id_cols, *ANNOTATION_COLUMNS
+        )
+
+    # ------------------------------------------------------------------
     def _run_table_checks(
         self,
         df: DataFrame,

@@ -107,3 +107,17 @@ def test_annotation_catalog_static(spark):
         ("/n", "default", "#/properties/n/default"),
     ]
     assert cat[0]["value_json"] == '"docs"'
+
+
+def test_engine_annotations_surface(spark):
+    from snowy_json_spark.engine import ValidationEngine
+
+    df = spark.createDataFrame([("r1", "en", 5), ("r2", "EN!", 5)], SCHEMA)
+    eng = ValidationEngine(SPEC, id_cols=["rid"])
+    rows = eng.annotations(df).collect()
+    # r1 valid → 3 annotations; r2 fails pattern → all retracted
+    assert [(r["rid"], r["name"]) for r in rows] == [
+        ("r1", "title"),
+        ("r1", "title"),
+        ("r1", "default"),
+    ]
