@@ -234,7 +234,13 @@ def with_ivf_cell(
     if impl == "auto":
         impl = "expr" if len(centroids) <= IVF_EXPR_MAX_CELLS else "arrow"
     if impl == "expr":
-        cell = _nearest_cell_expr(F.col(vec_col).cast("array<double>"), centroids)
+        v = F.col(vec_col).cast("array<double>")
+        # null vectors get cell -1 in BOTH impls (the Arrow path's
+        # convention) so the partition key never depends on which impl
+        # `auto` picked
+        cell = F.when(
+            v.isNotNull(), _nearest_cell_expr(v, centroids).cast("int")
+        ).otherwise(F.lit(-1).cast("int"))
     else:
         cell = _nearest_cell_udf(centroids)(F.col(vec_col))
     return df.withColumn("ivf_cell", cell)
@@ -272,21 +278,67 @@ def cosine_near_duplicates(
     vec_col: str,
     threshold: float = 0.95,
     dim: int | None = None,
-    n_planes: int = 10,
+    n_planes: int = 48,
+    n_bands: int = 4,
     seed: int = 42,
+    max_bucket_rows: int | None = None,
 ) -> DataFrame:
-    """Pairs with cosine ≥ threshold, candidate-limited to equal LSH
-    bucket (high-cosine pairs collide with high probability)."""
+    """Pairs with cosine ≥ threshold via banded random-hyperplane LSH
+    (the minhash OR-amplification pattern, `dedup.lsh_candidate_pairs`).
+
+    The ``n_planes``-bit sign signature is split into ``n_bands`` bands
+    of r = n_planes/n_bands bits; a pair is a candidate when it collides
+    in ANY band, then exact cosine verifies.  vs the old single-bucket
+    join (one 10-bit bucket): each band key is much narrower (2^r
+    buckets, r=12 default), so the per-bucket self-join shrinks ~2^(r-10)×
+    while OR over bands RAISES recall — p_band = p_bit^r, recall =
+    1-(1-p_band)^b (≈0.73 at cosine 0.95 with r=12,b=4, vs 0.35 for the
+    single 10-bit bucket).  Clustered real-world embeddings can still
+    produce hot buckets: ``max_bucket_rows`` drops band-buckets larger
+    than the cap from candidate generation (documented recall trade —
+    pairs colliding ONLY in dropped buckets are missed; other bands can
+    still recover them).  Shuffle = rows × n_bands, never all-pairs."""
+    if n_planes % n_bands:
+        raise ValueError("n_planes must be divisible by n_bands")
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
+    bits_per = n_planes // n_bands
+    mask = (1 << bits_per) - 1
     b = with_lsh_bucket(df, vec_col, dim, n_planes, seed)
-    a = b.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "lsh_bucket"
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("lsh_bucket"), i * bits_per)
+                .bitwiseAND(F.lit(mask))
+                .alias("bbits"),
+            )
+            for i in range(n_bands)
+        ]
     )
-    c = b.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "lsh_bucket"
+    e = b.select(
+        F.col(id_col), F.col(vec_col), F.explode(band_keys).alias("bk")
+    ).select(id_col, vec_col, F.col("bk.band").alias("band"), F.col("bk.bbits").alias("bbits"))
+    if max_bucket_rows is not None:
+        keep = (
+            e.groupBy("band", "bbits")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_rows)
+            .select("band", "bbits")
+        )
+        e = e.join(keep, ["band", "bbits"])
+    a = e.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "band", "bbits"
     )
-    pairs = a.join(c, "lsh_bucket").filter(F.col("id_a") < F.col("id_b"))
+    c = e.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "band", "bbits"
+    )
+    pairs = (
+        a.join(c, ["band", "bbits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .dropDuplicates(["id_a", "id_b"])  # collide in ≥1 band → once
+    )
     return pairs.select(
         "id_a",
         "id_b",

@@ -68,7 +68,18 @@ def duplicate_keys_salted(
     )
 
 
-def duplicate_keys_hashed(df: DataFrame, keys: list[str]) -> DataFrame:
+#: above this candidate-hash count the stage-2 semi-join switches from
+#: broadcast to shuffle: 10M × 8 B ≈ 80 MB is comfortably under Spark's
+#: broadcast limits; beyond it a high-duplication corpus (web crawls run
+#: 20-50% dups) would otherwise blow the driver / broadcast ceiling.
+HASHED_BROADCAST_LIMIT = 10_000_000
+
+
+def duplicate_keys_hashed(
+    df: DataFrame,
+    keys: list[str],
+    broadcast_limit: int = HASHED_BROADCAST_LIMIT,
+) -> DataFrame:
     """Hash-first duplicate detection for wide/high-cardinality keys
     (e.g. urls): identical output to :func:`duplicate_keys`, a fraction
     of the shuffle bytes.
@@ -77,10 +88,15 @@ def duplicate_keys_hashed(df: DataFrame, keys: list[str]) -> DataFrame:
     row instead of the full key string (~5× less shuffle IO on urls; at
     32M rows this shuffle was the measured non-scaling fraction of the
     single-pass job).  Stage 2 re-reads only rows whose hash is a
-    duplicate candidate (dup rate ≪ 1% in validation workloads, plus a
-    ~n²/2⁶⁴ sliver of hash collisions) via a broadcast semi-join and
+    duplicate candidate (plus a ~n²/2⁶⁴ sliver of hash collisions) and
     verifies on the true keys, so collisions can never produce a false
-    duplicate."""
+    duplicate.
+
+    Strategy selection is data-driven: the candidate set is cached and
+    counted (8 B/hash — bounded state), and the semi-join broadcasts
+    only while the count stays under ``broadcast_limit``; above it
+    (high-duplication corpora) it degrades gracefully to a shuffle hash
+    join instead of dying on the broadcast ceiling."""
     h = F.xxhash64(*[F.col(k) for k in keys]).alias("_h")
     cand = (
         df.select(h)
@@ -88,8 +104,13 @@ def duplicate_keys_hashed(df: DataFrame, keys: list[str]) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("_c"))
         .filter(F.col("_c") > 1)
         .select("_h")
-    )
-    cand_rows = df.select(*keys, h).join(F.broadcast(cand), "_h")
+    ).persist()
+    n_cand = cand.count()  # materializes the cache; one cheap agg job
+    if n_cand <= broadcast_limit:
+        cand_side = F.broadcast(cand)
+    else:
+        cand_side = cand.hint("shuffle_hash")
+    cand_rows = df.select(*keys, h).join(cand_side, "_h")
     return (
         cand_rows.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("dup_count"))

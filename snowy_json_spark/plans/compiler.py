@@ -127,26 +127,25 @@ class Compiled:
 @dataclass
 class Options:
     spec_version: str = "2019-09"  # or "draft-07", "draft-06"
-    #: None = draft-dependent default (Snow: format asserts by default
-    #: up to Draft-07, is annotation-only under 2019-09 unless the
-    #: FORMAT option / format vocabulary enables it — Options.java:51-52,
-    #: Format.java:248-259).  True/False force it either way.
+    #: None = draft-dependent default matching Snow: Option.FORMAT
+    #: defaults true ONLY under Draft-07 (Options.java per-draft
+    #: defaults); 2019-09 and Draft-06 are annotation-only unless the
+    #: FORMAT option / format vocabulary enables it (Format.java:248-259).
+    #: True/False force it either way.
     assert_format: bool | None = None
-    #: None = draft-dependent: content* assert ONLY under Draft-07 (the
-    #: CONTENT option; 2019-09 made them annotation-only and <07 lacks
-    #: them — ContentMediaType.java:63-65,81-82).
+    #: Snow defaults Option.CONTENT to false for EVERY draft — content*
+    #: assert only when explicitly enabled
+    #: (ContentMediaType.java:63-65,81-82).  None = that default (off).
     assert_content: bool | None = None
     max_recursion_depth: int = 16  # $recursiveRef unrolling cap
 
     def format_asserts(self) -> bool:
         if self.assert_format is None:
-            return self.spec_version != "2019-09"
+            return self.spec_version == "draft-07"
         return self.assert_format
 
     def content_asserts(self) -> bool:
-        if self.assert_content is None:
-            return self.spec_version == "draft-07"
-        return self.assert_content
+        return bool(self.assert_content)
 
 
 def _detect_spec_version(spec: dict) -> str | None:
@@ -510,12 +509,33 @@ class Compiler:
                     self._doc_stack.pop()
             if self.options.spec_version != "2019-09" or len(node) == 1:
                 return sub
-            rest = {k: v for k, v in node.items() if k != "$ref"}
-            sibling = self._compile(rest, inst, path, collect, ref_stack)
+            # Compile the siblings from the FULL node (not a $ref-stripped
+            # copy) so unevaluated* handlers can follow the adjacent $ref as
+            # an evaluation source (Snow counts annotations from the ref's
+            # target, UnevaluatedProperties.java:69-92).  _compile_object
+            # skips the $ref key itself in its keyword loop.
+            pushed = node.get("$recursiveAnchor") is True
+            if pushed:
+                self._recursive_anchor_stack.append(node)
+            try:
+                sibling = self._compile_object(node, inst, path, collect, ref_stack)
+            finally:
+                if pushed:
+                    self._recursive_anchor_stack.pop()
+            # cross-gate the halves' annotations: the containing schema
+            # fails (and retracts everything) if EITHER half fails
+            # (ValidatorContext.java:1276-1295)
+            anns = [
+                Annotation(a.constraint_id, a.instance_path, a.name, a.value_json, a.applied & sibling.valid)
+                for a in sub.annotations
+            ] + [
+                Annotation(a.constraint_id, a.instance_path, a.name, a.value_json, a.applied & sub.valid)
+                for a in sibling.annotations
+            ]
             return Compiled(
                 sub.valid & sibling.valid,
                 sub.leaves + sibling.leaves,
-                sub.annotations + sibling.annotations,
+                anns,
             )
 
         # $recursiveAnchor: outermost anchored schema is the dynamic base
@@ -758,14 +778,23 @@ class Compiler:
 
     def _kw_const(self, node, value, inst, path, add, sub, collect, leaves, conds):
         if inst.is_row:
-            return
+            # Snow deep-compares the whole instance (Const.java:44); a
+            # silently-ignored keyword would be worse than an error —
+            # apply const under properties/<col> instead.
+            raise SpecError(
+                f"{path}/const: row-level const is not supported; "
+                "apply it under properties/<column>"
+            )
         add("const", F.when(inst.not_null(), self._literal_eq(inst, value)).otherwise(value is None))
 
     def _kw_enum(self, node, value, inst, path, add, sub, collect, leaves, conds):
         if not isinstance(value, list) or not value:
             raise SpecError(f"{path}/enum must be a non-empty array")
         if inst.is_row:
-            return
+            raise SpecError(
+                f"{path}/enum: row-level enum is not supported; "
+                "apply it under properties/<column>"
+            )
         cond = self._literal_eq(inst, value[0])
         for v in value[1:]:
             cond = cond | self._literal_eq(inst, v)
@@ -1255,10 +1284,27 @@ class Compiler:
             conds.append(c.valid)
             self._adopt(c, None, leaves)
 
+    def _adopt_arm_annotations(self, subs: list[Compiled]) -> None:
+        """Adopt annotations from anyOf/oneOf arms: Snow applies
+        annotations from each successfully-applied arm and retracts a
+        failed arm's (ValidatorContext.java:1276-1295).  Each arm's
+        annotations are already gated on the arm's own validity by
+        _compile_object, so they adopt as-is; arm violation LEAVES stay
+        excluded (a failing arm is not a violation when a sibling arm
+        passes)."""
+        if not self._ann_stack:
+            return
+        sink = self._ann_stack[-1]
+        for c in subs:
+            sink.extend(c.annotations)
+
     def _kw_anyOf(self, node, value, inst, path, add, sub, collect, leaves, conds):
         if not isinstance(value, list) or not value:
             raise SpecError(f"{path}/anyOf must be a non-empty array")
-        subs = [sub(s, inst, f"{path}/anyOf/{i}", False) for i, s in enumerate(value)]
+        subs = [
+            sub(s, inst, f"{path}/anyOf/{i}", collect) for i, s in enumerate(value)
+        ]
+        self._adopt_arm_annotations(subs)
         cond = subs[0].valid
         for c in subs[1:]:
             cond = cond | c.valid
@@ -1267,7 +1313,10 @@ class Compiler:
     def _kw_oneOf(self, node, value, inst, path, add, sub, collect, leaves, conds):
         if not isinstance(value, list) or not value:
             raise SpecError(f"{path}/oneOf must be a non-empty array")
-        subs = [sub(s, inst, f"{path}/oneOf/{i}", False) for i, s in enumerate(value)]
+        subs = [
+            sub(s, inst, f"{path}/oneOf/{i}", collect) for i, s in enumerate(value)
+        ]
+        self._adopt_arm_annotations(subs)
         total = subs[0].valid.cast("int")
         for c in subs[1:]:
             total = total + c.valid.cast("int")
@@ -1279,7 +1328,11 @@ class Compiler:
         add("not", ~c.valid)
 
     def _kw_if(self, node, value, inst, path, add, sub, collect, leaves, conds):
-        if_c = sub(value, inst, f"{path}/if", False)
+        if_c = sub(value, inst, f"{path}/if", collect)
+        if self._ann_stack and if_c.annotations:
+            # `if`'s own annotations apply when it passes (its leaves are
+            # never violations — a failing `if` just selects `else`)
+            self._ann_stack[-1].extend(if_c.annotations)
         then_spec = node.get("then")
         else_spec = node.get("else")
         then_c = (
@@ -1390,9 +1443,34 @@ class Compiler:
                 if isinstance(n.get("else"), dict):
                     niv = ~iv
                     collect(n["else"], niv if gate is None else (gate & niv), stack)
+            self._collect_dependent_and_recursive(n, inst, gate, stack, collect)
 
         collect(node, None, ref_stack)
         return static, static_pats, static_all, gated
+
+    def _collect_dependent_and_recursive(
+        self, n: dict, inst: Instance, gate, stack: tuple, collect
+    ) -> None:
+        """Shared evaluation-source tail for the unevaluated* collectors:
+        dependentSchemas / schema-form dependencies apply (and so
+        evaluate) when their trigger key is present; $recursiveRef "#"
+        re-applies the outermost anchored schema at the same instance
+        location (UnevaluatedProperties.java:69-92 counts annotations
+        from all in-scope applied schemas)."""
+        for src in (n.get("dependentSchemas"), n.get("dependencies")):
+            if isinstance(src, dict):
+                for k, s in src.items():
+                    if isinstance(s, dict):
+                        g = inst.presence(k)
+                        collect(s, g if gate is None else (gate & g), stack)
+        if n.get("$recursiveRef") == "#" and "$recursiveRef" not in stack:
+            tgt = (
+                self._recursive_anchor_stack[0]
+                if self._recursive_anchor_stack
+                else self.spec
+            )
+            if isinstance(tgt, dict):
+                collect(tgt, gate, stack + ("$recursiveRef",))
 
     def _kw_unevaluatedProperties(self, node, value, inst, path, add, sub, collect, leaves, conds):
         if not inst.is_object():
@@ -1509,6 +1587,7 @@ class Compiler:
                 if isinstance(n.get("else"), dict):
                     niv = ~iv
                     collect(n["else"], niv if gate is None else (gate & niv), stack)
+            self._collect_dependent_and_recursive(n, inst, gate, stack, collect)
 
         collect(node, None, ref_stack)
         return static_prefix, static_all, gated

@@ -141,3 +141,88 @@ def test_lsh_shuffle_is_banded(spark, docs):
     sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=64)
     pairs = lsh_candidate_pairs(sigs, "doc_id", n_bands=16, rows_per_band=4)
     assert pairs.count() <= 15  # ≤ C(6,2), and only colliding pairs
+
+
+def test_cosine_banded_recall_and_bucket_shrink(spark):
+    """Banded OR-amplification: recall vs brute force at θ=0.95 must
+    hold while the max per-band-bucket row count drops vs the old
+    single-bucket scheme (hot-bucket quadratic risk, round-2 finding)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from snowy_json_spark.operators.similarity import with_lsh_bucket
+
+    rng = np.random.RandomState(7)
+    dim = 16
+    # clustered corpus: 3 tight clusters (hot in any coarse bucketing)
+    centers = rng.standard_normal((3, dim))
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(60):
+            v = c + 0.015 * rng.standard_normal(dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+
+    # exact pairs at threshold (brute-force oracle, 180 rows)
+    import itertools
+
+    vecs = {i: np.array(v) for i, v in rows}
+    exact = {
+        (i, j)
+        for i, j in itertools.combinations(sorted(vecs), 2)
+        if float(vecs[i] @ vecs[j] / (np.linalg.norm(vecs[i]) * np.linalg.norm(vecs[j]))) >= 0.95
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_duplicates(
+            df, "vec_id", "embedding", threshold=0.95, dim=dim
+        ).collect()
+    }
+    assert got <= exact  # exact-cosine verification: no false positives
+    recall = len(got) / max(len(exact), 1)
+    assert recall >= 0.7, f"banded recall too low: {recall} ({len(got)}/{len(exact)})"
+
+    # structural: max band-bucket occupancy < old single-10-bit-bucket occupancy
+    old = with_lsh_bucket(df, "embedding", dim, 10, 42)
+    old_max = old.groupBy("lsh_bucket").count().agg(F.max("count")).collect()[0][0]
+    new = with_lsh_bucket(df, "embedding", dim, 48, 42)
+    bands = new.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("lsh_bucket"), i * 12)
+                        .bitwiseAND(F.lit((1 << 12) - 1))
+                        .alias("bbits"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk")
+    )
+    new_max = (
+        bands.groupBy("bk.band", "bk.bbits").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert new_max <= old_max
+
+
+def test_cosine_bucket_cap_drops_hot_buckets(spark):
+    """max_bucket_rows prunes oversized band-buckets; output stays a
+    subset of the uncapped candidates."""
+    rows = [(i, [1.0, 0.0, 0.0, float(i % 3) * 1e-4]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_duplicates(df, "vec_id", "embedding", threshold=0.99, dim=4).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_duplicates(
+            df, "vec_id", "embedding", threshold=0.99, dim=4, max_bucket_rows=5
+        ).collect()
+    }
+    assert capped <= uncapped
+    assert len(capped) < len(uncapped)  # the 30-row hot bucket was pruned

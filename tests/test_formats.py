@@ -141,38 +141,47 @@ def test_unknown_format_passes(spark):
 
 
 def test_content_encoding_and_media_type(spark):
+    from snowy_json_spark.plans.compiler import Options
+
     df = spark.createDataFrame(
         [("eyJhIjogMX0=",), ("not base64!!",)], "s string"
     )  # first decodes to {"a": 1}
     spec = {
-        # content* assert only under Draft-07 (ContentMediaType.java:81-82)
+        # content* assert only when Option.CONTENT is enabled — Snow
+        # defaults it OFF for every draft (ContentMediaType.java:63-65)
         "$schema": "http://json-schema.org/draft-07/schema#",
         "properties": {
             "s": {"contentEncoding": "base64", "contentMediaType": "application/json"}
         }
     }
-    plan = compile_spec(spec, df.schema)
+    plan = compile_spec(spec, df.schema, options=Options(assert_content=True))
     got = [r["passed"] for r in with_verdict(df, plan).collect()]
     assert got == [True, False]
+    # default (CONTENT off): annotation-only, both rows pass
+    plan = compile_spec(spec, df.schema)
+    got = [r["passed"] for r in with_verdict(df, plan).collect()]
+    assert got == [True, True]
 
 
 def test_content_media_type_syntax_and_draft_gating(spark):
+    from snowy_json_spark.plans.compiler import Options
+
     df = spark.createDataFrame([("anything",)], "s string")
-    # malformed media-type syntax fails every string instance (draft-07)
+    # malformed media-type syntax fails every string instance (opt-in)
     bad = {
         "$schema": "http://json-schema.org/draft-07/schema#",
         "properties": {"s": {"contentMediaType": "not a media type"}},
     }
-    plan = compile_spec(bad, df.schema)
+    plan = compile_spec(bad, df.schema, options=Options(assert_content=True))
     assert with_verdict(df, plan).collect()[0]["passed"] is False
     # well-formed non-JSON media type: syntax-only, instance passes
     ok = {
         "$schema": "http://json-schema.org/draft-07/schema#",
         "properties": {"s": {"contentMediaType": "image/png; name=\"x\""}},
     }
-    plan = compile_spec(ok, df.schema)
+    plan = compile_spec(ok, df.schema, options=Options(assert_content=True))
     assert with_verdict(df, plan).collect()[0]["passed"] is True
-    # 2019-09: annotation-only, even malformed syntax does not assert
+    # default: annotation-only, even malformed syntax does not assert
     plan = compile_spec(
         {"properties": {"s": {"contentMediaType": "not a media type"}}}, df.schema
     )

@@ -50,7 +50,10 @@ def test_golden(spark, group, test):
         [tuple(row.get(c) for c in group["columns"]) for row in test["data"]],
         schema,
     )
-    plan = compile_spec(group["spec"], df.schema)
+    from snowy_json_spark.plans.compiler import Options
+
+    opts = Options(**group["options"]) if "options" in group else None
+    plan = compile_spec(group["spec"], df.schema, options=opts)
     verdict = all(r["passed"] for r in with_verdict(df, plan).collect())
     assert verdict == test["valid"], f"verdict {verdict} != expected {test['valid']}"
 

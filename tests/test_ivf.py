@@ -84,3 +84,15 @@ def test_ivf_many_cells_bounded_plan_and_recall(spark, embeddings):
         }
         hits += len(exact & approx)
     assert hits / 25 >= 0.5, f"64-cell IVF recall too low: {hits / 25}"
+
+
+def test_null_vectors_same_cell_both_impls(spark, centroids):
+    """Null vectors must get ivf_cell = -1 under BOTH impls so the
+    partition key never depends on which path `auto` picked."""
+    dim = centroids.shape[1]
+    rows = [(1, [0.1] * dim), (2, None), (3, [0.9] * dim)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    e = {r["vec_id"]: r["ivf_cell"] for r in with_ivf_cell(df, "embedding", centroids, impl="expr").collect()}
+    a = {r["vec_id"]: r["ivf_cell"] for r in with_ivf_cell(df, "embedding", centroids, impl="arrow").collect()}
+    assert e == a
+    assert e[2] == -1

@@ -133,3 +133,18 @@ def test_enum_null_handling(spark):
     plan = compile_spec(spec, df.schema)
     # null member → properties doesn't apply → pass regardless
     assert [r["passed"] for r in with_verdict(df, plan).collect()] == [True, False, True]
+
+
+def test_row_level_const_enum_raise(spark):
+    """Silently compiling a row-level const/enum to nothing would be a
+    semantic hole (Snow deep-compares the whole instance, Const.java:44);
+    the compiler raises a pointed SpecError instead."""
+    import pytest
+
+    from snowy_json_spark.plans.compiler import SpecError
+
+    df = spark.createDataFrame([(1,)], "a int")
+    with pytest.raises(SpecError, match="row-level const"):
+        compile_spec({"const": {"a": 1}}, df.schema)
+    with pytest.raises(SpecError, match="row-level enum"):
+        compile_spec({"enum": [{"a": 1}]}, df.schema)

@@ -153,3 +153,23 @@ def test_drift_missing_group():
     v = drift_verdicts({"a": [1, 2]}, {"a": [1, 2], "b": [3, 4]})
     status = {x["group"]: x["status"] for x in v}
     assert status["b"] == "missing_current"
+
+
+def test_hashed_shuffle_fallback_on_high_dup_corpus(spark):
+    """50%-duplicate corpus with broadcast_limit=1: the candidate set
+    exceeds the limit so the semi-join must degrade to a shuffle join
+    (no BroadcastExchange of the candidates) while producing output
+    identical to the plain strategy."""
+    rows = [(f"u{i % 500}",) for i in range(1000)]  # every key ×2
+    df = spark.createDataFrame(rows, "url string").repartition(8)
+    plain = {(r["url"], r["dup_count"]) for r in duplicate_keys(df, ["url"]).collect()}
+    fallback = duplicate_keys_hashed(df, ["url"], broadcast_limit=1)
+    got = {(r["url"], r["dup_count"]) for r in fallback.collect()}
+    assert got == plain and len(got) == 500
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        fallback.explain("formatted")
+    assert "BroadcastHashJoin" not in buf.getvalue()

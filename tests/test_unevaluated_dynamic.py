@@ -194,3 +194,68 @@ def test_unevaluated_items_schema_form_in_branch(spark):
         ([-1, 5],),  # arm2 prefix 1 → tail [5] ok → pass
     ]
     assert verdicts(spark, spec, rows, ARR) == [True, False, True]
+
+
+def test_unevaluated_properties_sibling_ref(spark):
+    """An adjacent sibling $ref is an evaluation source: properties
+    evaluated by the ref target must not count as unevaluated
+    (UnevaluatedProperties.java:69-92 counts the ref's annotations)."""
+    spec = {
+        "$defs": {"base": {"properties": {"a": {"minimum": 0}}}},
+        "properties": {
+            "meta": {
+                "$ref": "#/$defs/base",
+                "unevaluatedProperties": False,
+            }
+        },
+    }
+    rows = [
+        ({"a": 1, "b": None, "c": None},),  # only `a` present → evaluated by ref
+        ({"a": 1, "b": "x", "c": None},),  # `b` unevaluated → fail
+    ]
+    assert verdicts(spark, spec, rows, META_AB) == [True, False]
+
+
+def test_unevaluated_properties_dependent_schemas_source(spark):
+    """dependentSchemas subschemas evaluate properties when their
+    trigger key is present (gated source)."""
+    spec = {
+        "properties": {
+            "meta": {
+                "properties": {"a": {"minimum": 0}},
+                "dependentSchemas": {
+                    "a": {"properties": {"b": {"minLength": 1}}}
+                },
+                "unevaluatedProperties": False,
+            }
+        }
+    }
+    rows = [
+        ({"a": 1, "b": "x", "c": None},),  # a present → dep schema evaluates b
+        ({"a": None, "b": "x", "c": None},),  # a absent → b unevaluated → fail
+        ({"a": 1, "b": "x", "c": 3},),  # c never evaluated → fail
+    ]
+    assert verdicts(spark, spec, rows, META_AB) == [True, False, False]
+
+
+def test_unevaluated_properties_recursive_ref_source(spark):
+    """$recursiveRef re-applies the outermost anchored schema, so its
+    properties count as evaluated at this location."""
+    spec = {
+        "$recursiveAnchor": True,
+        "properties": {
+            "meta": {
+                "allOf": [{"$recursiveRef": "#"}],
+                "unevaluatedProperties": False,
+            },
+            "a": {"type": ["integer", "null"]},
+            "b": {"type": ["string", "null"]},
+        },
+    }
+    # the anchor schema declares properties meta/a/b → a and b inside
+    # meta are evaluated by the recursive re-application; c is not
+    rows = [
+        ({"a": 1, "b": "x", "c": None},),
+        ({"a": 1, "b": "x", "c": 3},),
+    ]
+    assert verdicts(spark, spec, rows, META_AB) == [True, False]
