@@ -2,7 +2,17 @@
 
 Prints ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...}
+   "queries": {name: sec, ...}, "query_reps": {name: [...]},
+   "sf": ..., "docs_per_sec": ...}
+
+Measurement protocol (round-3 fix — the round-2 artifact swung 4×
+with the sandbox's CPU-burst throttle): every query runs ``REPS``
+times (default 3) with adaptive cooldowns between reps, and the
+reported per-query number is the MIN over reps — the burst-speed
+estimate, robust to whichever rep lands in a depleted-credit window
+(same protocol as bench_scaling.py:22-66 and BENCH.md).  All reps are
+printed in ``query_reps`` so a real regression (all reps slow) is
+distinguishable from the throttle (one slow outlier).
 
 Workload (mirrors the north-star surface):
 - q_pages_validate : full engine run (row checks + uniqueness +
@@ -14,6 +24,7 @@ Workload (mirrors the north-star surface):
 - q_referential    : broadcast anti-join lineitem→orders.
 - q_stats          : single-pass column stats + HLL over events.
 - q_minhash        : MinHash+LSH near-dup sweep over documents.
+- q_simhash        : SimHash near-dup sweep over documents.
 - q_ann            : brute-force cosine top-k over embeddings.
 """
 
@@ -103,15 +114,31 @@ LINEITEM_SPEC = {
 }
 
 
+#: reps per query; the reported number is the min (burst-speed estimate)
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+
 def main() -> None:
     spark = get_spark("snowy-json-spark-bench", cores=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
+    rep_log: dict[str, list[float]] = {}
 
     def timed(name: str, fn):
-        t0 = time.monotonic()
-        out = fn()
-        timings[name] = round(time.monotonic() - t0, 3)
+        """min-of-REPS with adaptive inter-rep cooldowns: a query that
+        took t seconds gets ~1.5t (8..45 s) of idle before the next rep
+        so the sandbox burst budget it spent refills; cheap queries
+        barely deplete it and pay only the 8 s floor."""
+        times: list[float] = []
+        out = None
+        for i in range(REPS):
+            if i and COOLDOWN:
+                time.sleep(min(45.0, max(8.0, 1.5 * times[-1])))
+            t0 = time.monotonic()
+            out = fn()
+            times.append(time.monotonic() - t0)
+        timings[name] = round(min(times), 3)
+        rep_log[name] = [round(t, 3) for t in times]
         return out
 
     # -- q_pages_validate (flagship) --------------------------------------
@@ -129,6 +156,9 @@ def main() -> None:
         # single-pass flagship: ONE scan of the wide source into the
         # narrow flagged table; verdicts/violations/table checks all
         # read the flagged table (engine.run_single_pass)
+        import shutil
+
+        shutil.rmtree("/tmp/bench_out", ignore_errors=True)
         res = eng.run_single_pass(pages, "/tmp/bench_out", dims=dims)
         n = res.verdicts.agg(F.sum("row_count")).collect()[0][0]
         res.violations.count()
@@ -171,7 +201,7 @@ def main() -> None:
     # -- q_minhash ---------------------------------------------------------------
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     # untimed warmup: spawn pandas-UDF workers + codegen the signature
-    # plan so the timed run measures throughput, not cold start
+    # plan so rep 1 measures throughput, not cold start
     minhash_near_duplicates(
         docs.limit(64), "doc_id", "text", threshold=0.5, n_hashes=64, n_bands=16
     ).count()
@@ -204,6 +234,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "query_reps": rep_log,
+                "protocol": f"min-of-{REPS}, adaptive cooldowns (BENCH.md)",
                 "sf": os.path.basename(SF_DIR.rstrip("/")),
                 "cpus": CPUS,
                 "pages_rows": PAGES_ROWS,
