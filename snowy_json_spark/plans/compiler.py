@@ -396,9 +396,13 @@ class Compiler:
 
     @staticmethod
     def _follow_pointer(doc: Any, pointer: str, ref: str) -> Any:
+        from urllib.parse import unquote
+
         node = doc
         for raw in pointer.split("/"):
-            tok = raw.replace("~1", "/").replace("~0", "~")
+            # URI-fragment percent-decoding before RFC 6901 unescaping
+            # (CoreRef resolves the fragment as a URI first)
+            tok = unquote(raw).replace("~1", "/").replace("~0", "~")
             if isinstance(node, list):
                 try:
                     node = node[int(tok)]
@@ -492,21 +496,36 @@ class Compiler:
             return Compiled(F.lit(True))
 
         # $ref handling: pre-2019-09 siblings are ignored
-        # (ValidatorContext.java:1259-1264)
+        # (ValidatorContext.java:1259-1264).  Cycle detection is keyed on
+        # (ref, instance path): a RECURSIVE schema (root pointer ref,
+        # mutually-recursive $defs — JSON-Schema-Test-Suite ref.json) is
+        # legal and terminates naturally because every re-entry descends
+        # the instance's finite static type tree; only re-entering the
+        # same ref at the SAME instance location is a true cycle (the
+        # schema would be infinite for that value).  A per-ref depth cap
+        # backstops pathological nesting (permissive past the cap, like
+        # $recursiveRef).
         if "$ref" in node:
             ref = node["$ref"]
-            if ref in ref_stack:
+            key = (ref, inst.path)
+            if key in ref_stack:
                 raise SpecError(f"$ref cycle detected: {ref}")
-            target, ext_doc = self._resolve_ref_doc(ref)
-            if ext_doc is not None:
-                self._doc_stack.append(ext_doc)
-            try:
-                sub = self._compile(
-                    target, inst, path + "/$ref", collect, ref_stack + (ref,)
-                )
-            finally:
+            if (
+                sum(1 for r in ref_stack if r[0] == ref)
+                >= self.options.max_recursion_depth
+            ):
+                sub = Compiled(F.lit(True))
+            else:
+                target, ext_doc = self._resolve_ref_doc(ref)
                 if ext_doc is not None:
-                    self._doc_stack.pop()
+                    self._doc_stack.append(ext_doc)
+                try:
+                    sub = self._compile(
+                        target, inst, path + "/$ref", collect, ref_stack + (key,)
+                    )
+                finally:
+                    if ext_doc is not None:
+                        self._doc_stack.pop()
             if self.options.spec_version != "2019-09" or len(node) == 1:
                 return sub
             # Compile the siblings from the FULL node (not a $ref-stripped

@@ -1,0 +1,227 @@
+"""Official JSON-Schema-Test-Suite methodology, ported to the engine.
+
+The reference's entire correctness story is running the official suite
+per draft (`Test.java:80-85,105-186,319-478`, README.md:91-97).  This
+runner reproduces that shape over the static-schema-expressible subset:
+`tests/official_suite/{draft7,draft2019-09}/*.json` hold suite groups
+in the official format (`[{description, schema, tests: [{description,
+data, valid}]}]`), authored from the public suite's well-known cases.
+
+Mapping to the engine's world: each JSON instance is typed into a
+single-column DataFrame (`value: <derived Spark type>`) and the group's
+schema is compiled against that column.  Skips are explicit and
+counted, in three classes (mirroring `Test.java`'s per-draft skip
+lists):
+
+1. ``untypeable`` — the instance has no static Spark type
+   (heterogeneous arrays, integers beyond int64);
+2. ``null-member`` — the engine convention "null = absent member"
+   (parquet cannot distinguish them) diverges from JSON, so instances
+   with null object members are out of scope;
+3. explicit ``skip`` markers in the data files (documented per case).
+
+The summary test asserts ≥300 cases actually executed.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DataType,
+    DoubleType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from snowy_json_spark.plans.compiler import Compiler, Options
+
+SUITE_DIR = pathlib.Path(__file__).parent / "official_suite"
+DRAFT_OPTS = {
+    # format stays annotation-only: the official main suite never asserts it
+    "draft7": dict(spec_version="draft-07", assert_format=False),
+    "draft2019-09": dict(spec_version="2019-09"),
+}
+
+INT64_MAX = 2**63 - 1
+
+
+class Untypeable(Exception):
+    def __init__(self, reason: str):
+        self.reason = reason
+
+
+def _unify(a: DataType, b: DataType) -> DataType:
+    if a == b:
+        return a
+    num = (LongType, DoubleType)
+    if isinstance(a, num) and isinstance(b, num):
+        return DoubleType()
+    if isinstance(a, StructType) and isinstance(b, StructType):
+        if [f.name for f in a.fields] == [f.name for f in b.fields]:
+            return StructType(
+                [
+                    StructField(fa.name, _unify(fa.dataType, fb.dataType))
+                    for fa, fb in zip(a.fields, b.fields)
+                ]
+            )
+    if isinstance(a, ArrayType) and isinstance(b, ArrayType):
+        return ArrayType(_unify(a.elementType, b.elementType))
+    raise Untypeable("untypeable")
+
+
+def derive_type(v) -> DataType:
+    """Static Spark type of a JSON instance (raises Untypeable)."""
+    if v is None:
+        return StringType()  # null fits any nullable column
+    if isinstance(v, bool):
+        return BooleanType()
+    if isinstance(v, int):
+        if abs(v) > INT64_MAX:
+            raise Untypeable("untypeable")
+        return LongType()
+    if isinstance(v, float):
+        return DoubleType()
+    if isinstance(v, str):
+        return StringType()
+    if isinstance(v, list):
+        if not v:
+            return ArrayType(StringType())
+        elem = derive_type(v[0])
+        for x in v[1:]:
+            elem = _unify(elem, derive_type(x))
+        return ArrayType(elem)
+    if isinstance(v, dict):
+        if not v:
+            return MapType(StringType(), StringType())
+        fields = []
+        for k, val in v.items():
+            if val is None:
+                raise Untypeable("null-member")
+            fields.append(StructField(k, derive_type(val)))
+        return StructType(fields)
+    raise Untypeable("untypeable")
+
+
+def convert(v, dt: DataType):
+    """Python value shaped for createDataFrame under the derived type."""
+    if v is None:
+        return None
+    if isinstance(dt, DoubleType):
+        return float(v)
+    if isinstance(dt, ArrayType):
+        return [convert(x, dt.elementType) for x in v]
+    if isinstance(dt, StructType):
+        return tuple(convert(v[f.name], f.dataType) for f in dt.fields)
+    if isinstance(dt, MapType):
+        return dict(v)
+    return v
+
+
+def load_draft(draft: str):
+    files = {}
+    for path in sorted((SUITE_DIR / draft).glob("*.json")):
+        files[path.stem] = json.loads(path.read_text())
+    return files
+
+
+def run_draft(spark, draft: str):
+    """Execute every runnable case of one draft, batched per
+    (group, derived dtype) — one compile + one collect per batch."""
+    failures: dict[str, list[str]] = {}
+    skips: Counter = Counter()
+    executed: Counter = Counter()
+    for fname, groups in load_draft(draft).items():
+        fails: list[str] = []
+        for group in groups:
+            if "skip" in group:
+                skips[group["skip"]] += len(group["tests"])
+                continue
+            batches: dict[str, tuple[DataType, list, list, list]] = {}
+            for test in group["tests"]:
+                if "skip" in test:
+                    skips[test["skip"]] += 1
+                    continue
+                try:
+                    dt = derive_type(test["data"])
+                except Untypeable as e:
+                    skips[e.reason] += 1
+                    continue
+                key = dt.simpleString()
+                if key not in batches:
+                    batches[key] = (dt, [], [], [])
+                _, rows, expected, descs = batches[key]
+                rows.append((convert(test["data"], dt),))
+                expected.append(test["valid"])
+                descs.append(test["description"])
+            for dt, rows, expected, descs in batches.values():
+                schema = StructType([StructField("value", dt)])
+                df = spark.createDataFrame(rows, schema)
+                opts = Options(**DRAFT_OPTS[draft])
+                try:
+                    plan = Compiler(group["schema"], opts).compile_column(
+                        "value", dt, group["schema"]
+                    )
+                except Exception as e:  # compile error on a good schema
+                    fails.append(f"{group['description']}: compile error {e}")
+                    skips["compile-error"] += len(descs)
+                    continue
+                got = [
+                    r[0]
+                    for r in df.select(
+                        F.coalesce(plan.valid, F.lit(False)).alias("p")
+                    ).collect()
+                ]
+                executed[fname] += len(descs)
+                for g, want, desc in zip(got, expected, descs):
+                    if bool(g) != want:
+                        fails.append(
+                            f"{group['description']} :: {desc}: got {g}, want {want}"
+                        )
+        if fails:
+            failures[fname] = fails
+    return failures, skips, sum(executed.values())
+
+
+@pytest.fixture(scope="module")
+def results(spark):
+    out = {}
+    for draft in DRAFT_OPTS:
+        out[draft] = run_draft(spark, draft)
+    return out
+
+
+@pytest.mark.parametrize("draft", list(DRAFT_OPTS))
+def test_official_suite_draft(results, draft):
+    failures, skips, executed = results[draft]
+    msg = "\n".join(
+        f"{f}:\n  " + "\n  ".join(errs) for f, errs in failures.items()
+    )
+    assert not failures, f"{draft}: {sum(map(len, failures.values()))} failures\n{msg}"
+
+
+def test_official_suite_volume_and_skips(results):
+    """≥300 executed official cases, with a counted skip list."""
+    executed = sum(r[2] for r in results.values())
+    skips = Counter()
+    for r in results.values():
+        skips.update(r[1])
+    print(f"\nofficial-suite executed: {executed}, skips: {dict(skips)}")
+    assert executed >= 300, f"only {executed} executed official cases"
+    # the skip list stays bounded and named
+    assert set(skips) <= {
+        "untypeable",
+        "null-member",
+        "null member = absent under the engine convention",
+        "heterogeneous array is untypeable on a static schema",
+        "percent-decoding of $ref pointer tokens not implemented",
+    }, f"unexpected skip reasons: {dict(skips)}"
