@@ -73,6 +73,19 @@ def main(argv: list[str] | None = None) -> int:
         return 2
 
     spark = build_session()
+    # engine-dogfooded meta-check (Validator.java:459-474 analog): the
+    # spec format's own schema runs as an engine spec over the node table
+    from .spec.meta import meta_validate
+
+    meta_bad = meta_validate(spark, spec)
+    if meta_bad:
+        for r in meta_bad:
+            print(
+                f"SPEC ERROR {r['pointer']}: meta-validation failed "
+                f"{r['constraint_id']} (observed {r['observed_value']})",
+                file=sys.stderr,
+            )
+        return 2
     df = read_table(spark, args.input, args.format)
     dims = {}
     for d in args.dim:
