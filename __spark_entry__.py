@@ -610,6 +610,66 @@ def _q_embedding_norm_stats(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# multimodal payload metadata (real header parser over mapInPandas)
+# ---------------------------------------------------------------------------
+
+def _fixture_png(w: int, h: int) -> bytes:
+    import struct
+
+    return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+            + struct.pack(">II", w, h) + b"\x08\x06\x00\x00\x00" + b"\x00" * 4)
+
+
+def _fixture_gif(w: int, h: int) -> bytes:
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\xf7\x00\x00"
+
+
+_PNG_BYTES = _fixture_png(640, 480)
+_GIF_BYTES = _fixture_gif(37, 21)
+
+
+def _q_payload_meta_documents(spark, sf_dir):
+    """Real multimodal path: binary payloads (fixed PNG/GIF headers for
+    doc_id%3∈{0,1}, utf-8 text bytes otherwise) through the
+    mapInPandas header parser (multimodal.extract_image_metadata —
+    reference parity: binary columns + typed metadata, SURVEY.md §2.10);
+    per-format counts/bytes/hashes/dimensions.  The oracle recreates the
+    payloads with from_base64/encode and states the fixtures'
+    ground-truth dimensions and hashes."""
+    import base64
+
+    from snowy_json_spark.operators.multimodal import extract_image_metadata
+
+    docs = _docs(spark, sf_dir)
+    png_b64 = base64.b64encode(_PNG_BYTES).decode()
+    gif_b64 = base64.b64encode(_GIF_BYTES).decode()
+    m = F.col("doc_id") % 3
+    payload = (
+        F.when(m == 0, F.unbase64(F.lit(png_b64)))
+        .when(m == 1, F.unbase64(F.lit(gif_b64)))
+        .otherwise(F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"))
+    )
+    src = docs.select(
+        F.col("doc_id").cast("string").alias("url"), payload.alias("html")
+    )
+    meta = extract_image_metadata(src)
+    return (
+        meta.groupBy(F.coalesce(F.col("format"), F.lit("none")).alias("fmt"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.count_distinct(F.col("sha256")).alias("n_sha"),
+            F.min("sha256").alias("min_sha"),
+            F.coalesce(F.min("width").cast("long"), F.lit(0)).alias("min_width"),
+            F.coalesce(F.max("height").cast("long"), F.lit(0)).alias("max_height"),
+        )
+        .orderBy("fmt")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_validation_documents": _q_row_validation_documents,
@@ -638,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_keywords_documents": _q_format_keywords_documents,
         "annotations_documents": _q_annotations_documents,
         "object_keywords_documents": _q_object_keywords_documents,
+        "payload_meta_documents": _q_payload_meta_documents,
         # rows-only (LSH / pandas-UDF paths; no SQL equivalent)
         "minhash_near_dups_documents": _q_minhash_near_dups_documents,
         "simhash_near_dups_documents": _q_simhash_near_dups_documents,
@@ -718,9 +779,46 @@ def _format_oracle_sql() -> str:
     """
 
 
+def _payload_meta_sql() -> str:
+    """Payload-meta oracle: rebuilds the SAME payloads with
+    from_base64/encode, states the fixed fixtures' ground-truth
+    dimensions and sha256 (computed from the identical bytes at
+    query-build time, so the sides cannot drift)."""
+    import base64
+    import hashlib
+
+    png_b64 = base64.b64encode(_PNG_BYTES).decode()
+    gif_b64 = base64.b64encode(_GIF_BYTES).decode()
+    png_sha = hashlib.sha256(_PNG_BYTES).hexdigest()
+    gif_sha = hashlib.sha256(_GIF_BYTES).hexdigest()
+    return f"""
+        WITH p AS (
+          SELECT
+            CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'none' END AS fmt,
+            CASE doc_id % 3 WHEN 0 THEN from_base64('{png_b64}')
+                            WHEN 1 THEN from_base64('{gif_b64}')
+                            ELSE encode(COALESCE(text, '')) END AS payload,
+            CASE doc_id % 3 WHEN 0 THEN '{png_sha}'
+                            WHEN 1 THEN '{gif_sha}'
+                            ELSE sha256(COALESCE(text, '')) END AS sha,
+            CASE doc_id % 3 WHEN 0 THEN 640 WHEN 1 THEN 37 END AS width,
+            CASE doc_id % 3 WHEN 0 THEN 480 WHEN 1 THEN 21 END AS height
+          FROM documents)
+        SELECT fmt,
+          COUNT(*) AS n_rows,
+          CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
+          CAST(COUNT(DISTINCT sha) AS BIGINT) AS n_sha,
+          MIN(sha) AS min_sha,
+          CAST(COALESCE(MIN(width), 0) AS BIGINT) AS min_width,
+          CAST(COALESCE(MAX(height), 0) AS BIGINT) AS max_height
+        FROM p GROUP BY fmt ORDER BY fmt
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "detected_lang_documents": _lang_id_sql(),
+        "payload_meta_documents": _payload_meta_sql(),
         "array_keywords_documents": f"""
             WITH w AS (SELECT {_WORDS} AS words FROM documents)
             SELECT COUNT(*) AS n_rows,

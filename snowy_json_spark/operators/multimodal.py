@@ -2,17 +2,18 @@
 
 Opaque ``binary`` payload columns + typed metadata, processed through
 ``mapInPandas`` in Arrow batches — the shape a real decode/feature
-pipeline takes on Spark.  The codec layer itself is **stubbed**: the
-image/audio libraries are not in this container, so the decode step is
-a clearly-marked deterministic fake (or raises ``NotImplementedError``
-in strict mode).  Everything Spark-side — schemas, batch iteration,
-partition-preserving mapInPandas, metadata extraction — is real and
-tested; swapping the fake for PIL/ffmpeg is a one-function change.
+pipeline takes on Spark.  Container-header parsing (format, width,
+height for JPEG/PNG/GIF/WebP) is REAL — pure struct parsing, no codec
+libraries needed.  Full pixel decode / frame extraction would need
+PIL/ffmpeg (not in this container): the frame SAMPLER below keeps the
+real Spark shape (1→N binary expansion in mapInPandas) with a
+clearly-marked byte-slice stand-in for the codec call.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -38,21 +39,84 @@ IMAGE_META_SCHEMA = StructType(
     ]
 )
 
+#: JPEG start-of-frame markers that carry dimensions (SOF0-15 minus
+#: DHT 0xC4 / JPG 0xC8 / DAC 0xCC)
+_JPEG_SOF = {
+    0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+}
+#: standalone markers with no length field (RSTn, SOI, EOI, TEM)
+_JPEG_STANDALONE = set(range(0xD0, 0xDA)) | {0x01}
 
-def _fake_decode(payload: bytes) -> tuple[str, int, int]:
-    """STUB: deterministic fake decoder.
 
-    A real implementation would be ``PIL.Image.open(io.BytesIO(b))``;
-    this derives (format, width, height) from the payload hash so the
-    pipeline shape (including failure on empty payloads) is testable
-    without codec libraries."""
+def parse_image_header(payload: bytes) -> tuple[str, int, int]:
+    """(format, width, height) from real container headers.
+
+    Pure struct parsing — PNG IHDR, GIF logical screen descriptor,
+    JPEG SOF segment scan, WebP VP8/VP8L/VP8X chunks.  Raises
+    ``ValueError`` on anything unrecognized or truncated (the caller
+    turns that into an error row, never a task failure)."""
     if not payload:
         raise ValueError("empty payload")
-    h = hashlib.sha256(payload).digest()
-    fmt = ["jpeg", "png", "webp"][h[0] % 3]
-    width = 160 + (h[1] % 64) * 16
-    height = 120 + (h[2] % 48) * 16
-    return fmt, width, height
+    # PNG: 8-byte signature, then IHDR chunk: len(4) 'IHDR' w(4BE) h(4BE)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(payload) < 24 or payload[12:16] != b"IHDR":
+            raise ValueError("truncated PNG")
+        w, h = struct.unpack(">II", payload[16:24])
+        return "png", w, h
+    # GIF: 'GIF87a'/'GIF89a' then logical screen w(2LE) h(2LE)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        if len(payload) < 10:
+            raise ValueError("truncated GIF")
+        w, h = struct.unpack("<HH", payload[6:10])
+        return "gif", w, h
+    # JPEG: scan marker segments for a SOF
+    if payload[:2] == b"\xff\xd8":
+        i = 2
+        n = len(payload)
+        while i + 1 < n:
+            if payload[i] != 0xFF:
+                raise ValueError("bad JPEG marker stream")
+            while i < n and payload[i] == 0xFF:
+                i += 1  # fill bytes
+            if i >= n:
+                break
+            marker = payload[i]
+            i += 1
+            if marker in _JPEG_STANDALONE:
+                continue
+            if i + 2 > n:
+                break
+            (seg_len,) = struct.unpack(">H", payload[i : i + 2])
+            if marker in _JPEG_SOF:
+                # segment: len(2) precision(1) height(2BE) width(2BE)
+                if i + 7 > n:
+                    raise ValueError("truncated JPEG SOF")
+                h, w = struct.unpack(">HH", payload[i + 3 : i + 7])
+                return "jpeg", w, h
+            i += seg_len
+        raise ValueError("no JPEG SOF segment")
+    # WebP: RIFF container
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        chunk = payload[12:16]
+        if chunk == b"VP8 " and len(payload) >= 30:
+            # lossy: sync 9D 01 2A then 14-bit w/h little-endian
+            if payload[23:26] != b"\x9d\x01\x2a":
+                raise ValueError("bad VP8 sync code")
+            w = struct.unpack("<H", payload[26:28])[0] & 0x3FFF
+            h = struct.unpack("<H", payload[28:30])[0] & 0x3FFF
+            return "webp", w, h
+        if chunk == b"VP8L" and len(payload) >= 25:
+            if payload[20] != 0x2F:
+                raise ValueError("bad VP8L signature")
+            bits = struct.unpack("<I", payload[21:25])[0]
+            return "webp", (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+        if chunk == b"VP8X" and len(payload) >= 30:
+            w = int.from_bytes(payload[24:27], "little") + 1
+            h = int.from_bytes(payload[27:30], "little") + 1
+            return "webp", w, h
+        raise ValueError("unknown WebP chunk")
+    raise ValueError("unrecognized image container")
 
 
 def extract_image_metadata(
@@ -79,9 +143,7 @@ def extract_image_metadata(
             for b in pdf[payload_col]:
                 if b is None or len(b) == 0:
                     if strict:
-                        raise NotImplementedError(
-                            "real decoder unavailable in this environment"
-                        )
+                        raise ValueError("empty payload in strict mode")
                     fmts.append(None)
                     ws.append(None)
                     hs.append(None)
@@ -89,11 +151,13 @@ def extract_image_metadata(
                     continue
                 payload = bytes(b)
                 try:
-                    fmt, w, h = _fake_decode(payload)
+                    fmt, w, h = parse_image_header(payload)
                     fmts.append(fmt)
                     ws.append(w)
                     hs.append(h)
                 except ValueError:
+                    if strict:
+                        raise
                     fmts.append(None)
                     ws.append(None)
                     hs.append(None)

@@ -144,18 +144,71 @@ def binary_df(spark):
     return spark.createDataFrame(rows, "url string, html binary")
 
 
-def test_extract_image_metadata(spark, binary_df):
-    meta = extract_image_metadata(binary_df).collect()
-    by_url = {r["url"]: r for r in meta}
-    assert by_url["u1"]["format"] in ("jpeg", "png", "webp")
-    assert by_url["u1"]["width"] > 0 and by_url["u1"]["height"] > 0
-    assert by_url["u1"]["sha256"] is not None
-    # empty/None payloads become null-metadata rows, not failures
-    assert by_url["u3"]["format"] is None
-    assert by_url["u4"]["format"] is None
-    # deterministic fake: same payload → same metadata
-    again = {r["url"]: r for r in extract_image_metadata(binary_df).collect()}
-    assert again["u1"] == by_url["u1"]
+def _png(w, h):
+    import struct
+
+    return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+            + struct.pack(">II", w, h) + b"\x08\x06\x00\x00\x00" + b"\x00" * 4)
+
+
+def _gif(w, h):
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\xf7\x00\x00"
+
+
+def _jpeg(w, h):
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", h, w) + b"\x01\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _webp_vp8(w, h):
+    import struct
+
+    body = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", w, h)
+    chunk = b"VP8 " + struct.pack("<I", len(body)) + body
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def test_parse_image_headers_real_bytes():
+    from snowy_json_spark.operators.multimodal import parse_image_header
+
+    assert parse_image_header(_png(640, 480)) == ("png", 640, 480)
+    assert parse_image_header(_gif(37, 21)) == ("gif", 37, 21)
+    assert parse_image_header(_jpeg(1920, 1080)) == ("jpeg", 1920, 1080)
+    assert parse_image_header(_webp_vp8(320, 200)) == ("webp", 320, 200)
+    import pytest as _pytest
+
+    for junk in (b"", b"fake image bytes", b"\x89PNG\r\n\x1a\nIH",
+                 b"\xff\xd8\xff\xd9", b"RIFF\x00\x00\x00\x00WAVE"):
+        with _pytest.raises(ValueError):
+            parse_image_header(junk)
+
+
+def test_extract_image_metadata(spark):
+    rows = [
+        ("png", _png(640, 480)),
+        ("gif", _gif(37, 21)),
+        ("jpeg", _jpeg(1920, 1080)),
+        ("webp", _webp_vp8(320, 200)),
+        ("junk", b"fake image bytes " * 10),
+        ("empty", b""),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    by_url = {r["url"]: r for r in extract_image_metadata(df).collect()}
+    assert (by_url["png"]["format"], by_url["png"]["width"], by_url["png"]["height"]) == ("png", 640, 480)
+    assert (by_url["gif"]["format"], by_url["gif"]["width"], by_url["gif"]["height"]) == ("gif", 37, 21)
+    assert (by_url["jpeg"]["format"], by_url["jpeg"]["width"], by_url["jpeg"]["height"]) == ("jpeg", 1920, 1080)
+    assert (by_url["webp"]["format"], by_url["webp"]["width"], by_url["webp"]["height"]) == ("webp", 320, 200)
+    # undecodable/empty/None payloads become error rows, not failures
+    assert by_url["junk"]["format"] is None and by_url["junk"]["sha256"] is not None
+    assert by_url["empty"]["format"] is None and by_url["empty"]["sha256"] is None
+    assert by_url["null"]["format"] is None
+    assert by_url["png"]["n_bytes"] == len(_png(640, 480))
 
 
 def test_sample_frames_row_expansion(spark, binary_df):
