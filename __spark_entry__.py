@@ -20,7 +20,9 @@ from pyspark.sql import functions as F
 
 from snowy_json_spark.operators.dedup import (
     jaccard_pairs,
+    lsh_candidate_pairs,
     minhash_near_duplicates,
+    minhash_signatures,
     simhash_near_duplicates,
 )
 from snowy_json_spark.operators.drift import HistogramSpec, histogram
@@ -611,6 +613,106 @@ def _q_embedding_norm_stats(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# near-dup oracle coverage (round-3: green CORRECTNESS rows for the LSH
+# paths instead of `no_oracle`)
+# ---------------------------------------------------------------------------
+
+def _q_minhash_verified_pairs(spark, sf_dir):
+    """MinHash+LSH candidates exact-verified by true word Jaccard — the
+    production near-dup pattern (banded candidates → exact verify).  On
+    this slice the banding's recall at J≥0.8 is exactly 1 (deterministic
+    hash family, measured at both SFs), so the verified output equals
+    the exact pair set and the DuckDB word-Jaccard oracle checks the
+    whole pipeline end-to-end (dedup.py: minhash_signatures →
+    lsh_candidate_pairs → exact verification)."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    sigs = minhash_signatures(docs, "doc_id", "text", 64, 1, "word")
+    cands = lsh_candidate_pairs(sigs, "doc_id", n_bands=16, rows_per_band=4)
+    exact = jaccard_pairs(
+        docs, "doc_id", "text", shingle_k=1, mode="word", min_jaccard=0.8
+    )
+    return (
+        cands.join(exact, ["id_a", "id_b"])
+        .select("id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _q_simhash_planted_pairs(spark, sf_dir):
+    """Planted-duplicate recovery through the banded SimHash pipeline:
+    each odd doc (<100) takes its even neighbor's text, so every
+    (2k, 2k+1) pair is an exact duplicate → identical signature →
+    guaranteed band collision → exact-Hamming recount 0.  The join with
+    the planted-pair set keeps incidental near-dup hits out, so the
+    output is fully SQL-expressible while still red if signatures go
+    nondeterministic across partitions or the banding/recount drops
+    pairs."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    leader = (F.col("doc_id") - F.col("doc_id") % 2).alias("lid")
+    src = docs.select("doc_id", leader)
+    texts = docs.select(F.col("doc_id").alias("lid"), F.col("text").alias("ltext"))
+    derived = src.join(texts, "lid").select("doc_id", F.col("ltext").alias("text"))
+    nd = simhash_near_duplicates(derived, "doc_id", "text", max_hamming=3)
+    planted = docs.select((F.col("doc_id")).alias("id_a")).filter(
+        F.col("id_a") % 2 == 0
+    ).join(
+        docs.select(F.col("doc_id").alias("id_b")),
+        F.col("id_b") == F.col("id_a") + 1,
+    )
+    return (
+        nd.join(planted, ["id_a", "id_b"])
+        .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+        .orderBy("id_a")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 unevaluatedProperties over a map-typed object (dynamic anyOf
+# branches) — first green oracle row for the unevaluated* family
+# ---------------------------------------------------------------------------
+
+UNEVAL_SPEC = {
+    "properties": {
+        "m": {
+            "anyOf": [
+                {"properties": {"lang": {"pattern": "^(en|de|fr)$"}},
+                 "required": ["lang"]},
+                {"properties": {"source": {"pattern": "^src(1|2|3)$"}},
+                 "required": ["source"]},
+            ],
+            "unevaluatedProperties": False,
+        }
+    }
+}
+
+
+def _q_unevaluated_props_documents(spark, sf_dir):
+    """Dynamic-branch unevaluatedProperties on an open (map-typed)
+    object: a member counts as evaluated only under a PASSING anyOf arm
+    (failed-arm annotation retraction, UnevaluatedProperties.java:69-92);
+    the extra key is never evaluated.  The oracle states the same
+    dataflow as CASE logic."""
+    df = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.create_map(
+            F.lit("lang"), F.col("lang"),
+            F.lit("source"), F.col("source"),
+            F.lit("extra"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("x")),
+        ).alias("m"),
+    )
+    p = "#/properties/m"
+    return _leaf_failure_counts(
+        df,
+        UNEVAL_SPEC,
+        {
+            f"{p}/anyOf": "anyof_failed",
+            f"{p}/unevaluatedProperties": "uneval_failed",
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
 # multimodal payload metadata (real header parser over mapInPandas)
 # ---------------------------------------------------------------------------
 
@@ -699,6 +801,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "annotations_documents": _q_annotations_documents,
         "object_keywords_documents": _q_object_keywords_documents,
         "payload_meta_documents": _q_payload_meta_documents,
+        "minhash_verified_pairs": _q_minhash_verified_pairs,
+        "simhash_planted_pairs": _q_simhash_planted_pairs,
+        "unevaluated_props_documents": _q_unevaluated_props_documents,
         # rows-only (LSH / pandas-UDF paths; no SQL equivalent)
         "minhash_near_dups_documents": _q_minhash_near_dups_documents,
         "simhash_near_dups_documents": _q_simhash_near_dups_documents,
@@ -819,6 +924,48 @@ def oracle_sql() -> dict[str, str]:
     return {
         "detected_lang_documents": _lang_id_sql(),
         "payload_meta_documents": _payload_meta_sql(),
+        "minhash_verified_pairs": f"""
+            WITH sh AS (
+              SELECT DISTINCT doc_id, w AS shingle
+              FROM documents,
+                   UNNEST({_WORDS}) AS t(w)
+              WHERE doc_id < 100
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   ROUND(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.8
+            ORDER BY id_a, id_b
+        """,
+        "simhash_planted_pairs": """
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(0 AS BIGINT) AS hamming
+            FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+            WHERE a.doc_id % 2 = 0 AND a.doc_id < 100 AND b.doc_id < 100
+            ORDER BY id_a
+        """,
+        "unevaluated_props_documents": """
+            WITH g AS (
+              SELECT lang, source,
+                (lang IS NOT NULL AND regexp_matches(lang, '^(en|de|fr)$')) AS arm1,
+                (source IS NOT NULL AND regexp_matches(source, '^src(1|2|3)$')) AS arm2,
+                (doc_id % 4 = 0) AS extra
+              FROM documents)
+            SELECT COUNT(*) AS n_rows,
+              CAST(SUM(CASE WHEN NOT (arm1 OR arm2) THEN 1 ELSE 0 END) AS BIGINT) AS anyof_failed,
+              CAST(SUM(CASE WHEN NOT ((lang IS NULL OR arm1)
+                                  AND (source IS NULL OR arm2)
+                                  AND NOT extra) THEN 1 ELSE 0 END) AS BIGINT) AS uneval_failed
+            FROM g
+        """,
         "array_keywords_documents": f"""
             WITH w AS (SELECT {_WORDS} AS words FROM documents)
             SELECT COUNT(*) AS n_rows,
