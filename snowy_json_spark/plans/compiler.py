@@ -495,6 +495,29 @@ class Compiler:
         if not node:
             return Compiled(F.lit(True))
 
+        # $recursiveAnchor enters the dynamic scope BEFORE any keyword of
+        # this schema object is applied — including an adjacent $ref — so
+        # it is pushed first (CoreRecursiveAnchor.java:42-59 /
+        # setRecursiveBaseURI).  Because compilation inlines the whole
+        # schema-application tree, the compile path IS the dynamic scope:
+        # with this push order, $recursiveRef's outermost-anchor lookup
+        # reproduces Snow's dynamic-scope resolution exactly for every
+        # statically-composable schema (CoreRecursiveRef.java:45-120).
+        pushed_anchor = False
+        if node.get("$recursiveAnchor") is True:
+            # record the anchor's own base document so its internal $refs
+            # resolve correctly when re-applied from another document
+            self._recursive_anchor_stack.append((node, self._doc_stack[-1]))
+            pushed_anchor = True
+        try:
+            return self._compile_dict(node, inst, path, collect, ref_stack)
+        finally:
+            if pushed_anchor:
+                self._recursive_anchor_stack.pop()
+
+    def _compile_dict(
+        self, node: dict, inst: Instance, path: str, collect: bool, ref_stack: tuple
+    ) -> Compiled:
         # $ref handling: pre-2019-09 siblings are ignored
         # (ValidatorContext.java:1259-1264).  Cycle detection is keyed on
         # (ref, instance path): a RECURSIVE schema (root pointer ref,
@@ -533,14 +556,7 @@ class Compiler:
             # an evaluation source (Snow counts annotations from the ref's
             # target, UnevaluatedProperties.java:69-92).  _compile_object
             # skips the $ref key itself in its keyword loop.
-            pushed = node.get("$recursiveAnchor") is True
-            if pushed:
-                self._recursive_anchor_stack.append(node)
-            try:
-                sibling = self._compile_object(node, inst, path, collect, ref_stack)
-            finally:
-                if pushed:
-                    self._recursive_anchor_stack.pop()
+            sibling = self._compile_object(node, inst, path, collect, ref_stack)
             # cross-gate the halves' annotations: the containing schema
             # fails (and retracts everything) if EITHER half fails
             # (ValidatorContext.java:1276-1295)
@@ -557,18 +573,7 @@ class Compiler:
                 anns,
             )
 
-        # $recursiveAnchor: outermost anchored schema is the dynamic base
-        # (CoreRecursiveAnchor.java:42-59 / setRecursiveBaseURI); the
-        # static compile path is the dynamic scope here
-        pushed_anchor = False
-        if node.get("$recursiveAnchor") is True:
-            self._recursive_anchor_stack.append(node)
-            pushed_anchor = True
-        try:
-            return self._compile_object(node, inst, path, collect, ref_stack)
-        finally:
-            if pushed_anchor:
-                self._recursive_anchor_stack.pop()
+        return self._compile_object(node, inst, path, collect, ref_stack)
 
     def _adopt(self, c: Compiled, guard: Column | None, leaves: list) -> None:
         """Adopt a subcompile's leaves and annotations under a guard
@@ -1371,6 +1376,23 @@ class Compiler:
 
     # then/else are handled inside _kw_if (inner Applier keywords, If.java:40-53)
 
+    def _recursive_target(self) -> Any:
+        """Dynamic-scope resolution of ``$recursiveRef: "#"``
+        (CoreRecursiveRef.java:45-120): resolve to the current base
+        document root; if that root carries ``$recursiveAnchor: true``,
+        re-resolve to the OUTERMOST anchored schema in the dynamic
+        scope — which, in a fully static compile, is the bottom of the
+        compile-path anchor stack (the compile path inlines the dynamic
+        scope)."""
+        base = self._doc_stack[-1]
+        if (
+            isinstance(base, dict)
+            and base.get("$recursiveAnchor") is True
+            and self._recursive_anchor_stack
+        ):
+            return self._recursive_anchor_stack[0]
+        return base, base
+
     def _kw_dollar_recursiveRef(self, node, value, inst, path, add, sub, collect, leaves, conds):
         """$recursiveRef "#" → re-apply the outermost $recursiveAnchor'd
         schema (static approximation of the dynamic scope,
@@ -1384,16 +1406,14 @@ class Compiler:
         if self._rref_depth >= self.options.max_recursion_depth:
             conds.append(F.lit(True))  # permissive cut-off past the cap
             return
-        target = (
-            self._recursive_anchor_stack[0]
-            if self._recursive_anchor_stack
-            else self.spec
-        )
+        target, target_doc = self._recursive_target()
         self._rref_depth += 1
+        self._doc_stack.append(target_doc)
         try:
             # fresh ref_stack: re-entering the anchor is recursion, not a cycle
             c = self._compile(target, inst, f"{path}/$recursiveRef", collect, ())
         finally:
+            self._doc_stack.pop()
             self._rref_depth -= 1
         conds.append(c.valid)
         self._adopt(c, None, leaves)
@@ -1483,11 +1503,7 @@ class Compiler:
                         g = inst.presence(k)
                         collect(s, g if gate is None else (gate & g), stack)
         if n.get("$recursiveRef") == "#" and "$recursiveRef" not in stack:
-            tgt = (
-                self._recursive_anchor_stack[0]
-                if self._recursive_anchor_stack
-                else self.spec
-            )
+            tgt, _doc = self._recursive_target()
             if isinstance(tgt, dict):
                 collect(tgt, gate, stack + ("$recursiveRef",))
 

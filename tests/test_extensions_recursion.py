@@ -85,8 +85,12 @@ NESTED3 = StructType(
 
 
 def test_recursive_ref_nested_structs(spark):
-    # tree schema: every node's v >= 0, recursing into .child
-    spec = {
+    # tree schema: every node's v >= 0, recursing into .child.  The
+    # tree lives in its own schema resource (registry document) so
+    # "$recursiveRef": "#" resolves to the TREE root — under strict
+    # 2019-09 semantics an inline subtree's "#" would resolve to the
+    # outer document root instead (round-3 dynamic-scope fix).
+    tree = {
         "$recursiveAnchor": True,
         "properties": {
             "v": {"minimum": 0},
@@ -100,8 +104,10 @@ def test_recursive_ref_nested_structs(spark):
     ]
     schema = StructType([StructField("root", NESTED3)])
     df = spark.createDataFrame(rows, schema)
-    wrapped = {"properties": {"root": spec}}
-    plan = compile_spec(wrapped, df.schema)
+    wrapped = {"properties": {"root": {"$ref": "https://example.test/tree"}}}
+    plan = compile_spec(
+        wrapped, df.schema, registry={"https://example.test/tree": tree}
+    )
     assert [r["passed"] for r in with_verdict(df, plan).collect()] == [True, False, True]
 
 
@@ -122,3 +128,89 @@ def test_verdict_only_mode(spark):
     plan = compile_spec(spec, df.schema, collect=False)
     assert plan.leaves == []
     assert [r["passed"] for r in with_verdict(df, plan).collect()] == [True, False]
+
+
+def test_dynamic_scope_recursive_ref_extension(spark):
+    """CoreRecursiveRef.java:45-120's dynamic case: `extended` carries
+    $recursiveAnchor and $ref's `base`; when base's items hits
+    $recursiveRef "#", the outermost anchor in the DYNAMIC scope is
+    `extended`, so children must satisfy the extension's constraints
+    too.  (Static outermost-compile-path binding would re-apply only
+    `base` and miss the bad child `extra`.)"""
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from snowy_json_spark.plans.compiler import Compiler, Options
+
+    base = {
+        "$recursiveAnchor": True,
+        "properties": {
+            "name": {"type": ["string", "null"]},
+            "children": {"items": {"$recursiveRef": "#"}},
+        },
+    }
+    extended = {
+        "$recursiveAnchor": True,
+        "$ref": "https://example.test/base",
+        "properties": {"extra": {"type": ["integer", "null"]}},
+    }
+    child = StructType(
+        [
+            StructField("name", StringType()),
+            StructField("extra", StringType()),  # string: wrong for extended
+        ]
+    )
+    dt = StructType(
+        [
+            StructField("name", StringType()),
+            StructField("extra", LongType()),
+            StructField("children", ArrayType(child)),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            (("ok", 1, [("c1", None)]),),       # child.extra absent -> pass
+            (("bad", 1, [("c1", "oops")]),),    # child.extra is a string ->
+                                                 # only the DYNAMIC re-anchor
+                                                 # to `extended` catches it
+        ],
+        StructType([StructField("value", dt)]),
+    )
+    comp = Compiler(
+        extended,
+        Options(spec_version="2019-09"),
+        registry={"https://example.test/base": base},
+    )
+    plan = comp.compile_column("value", dt, extended)
+    got = [r[0] for r in df.select(plan.valid).collect()]
+    assert got == [True, False]
+
+
+def test_recursive_ref_without_anchor_is_plain_root_ref(spark):
+    """$recursiveRef "#" with no $recursiveAnchor at the base root is
+    just a ref to the current document root."""
+    from pyspark.sql.types import StructField, StructType, LongType, StringType
+
+    from snowy_json_spark.plans.compiler import Compiler
+
+    spec = {
+        "properties": {
+            "n": {"type": ["integer", "null"]},
+            "inner": {"$recursiveRef": "#"},
+        }
+    }
+    inner = StructType([StructField("n", StringType())])
+    dt = StructType([StructField("n", LongType()), StructField("inner", inner)])
+    df = spark.createDataFrame(
+        [((1, ("x",)),), ((1, (None,)),)],
+        StructType([StructField("value", dt)]),
+    )
+    comp = Compiler(spec)
+    plan = comp.compile_column("value", dt, spec)
+    # inner.n is a string -> root's properties/n (integer) fails on row 1
+    assert [r[0] for r in df.select(plan.valid).collect()] == [False, True]
