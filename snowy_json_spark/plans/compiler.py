@@ -122,6 +122,29 @@ class Compiled:
     valid: Column  # null-safe boolean
     leaves: list[Leaf] = field(default_factory=list)
     annotations: list[Annotation] = field(default_factory=list)
+    #: dynamic $ref prefix → canonical target location, for rewriting a
+    #: leaf's dynamic constraint_id ("#/properties/x/$ref/minimum") into
+    #: Snow's absKeywordLocation ("#/$defs/A/minimum", Main.java:165-190)
+    ref_targets: dict = field(default_factory=dict)
+
+    def abs_location(self, constraint_id: str) -> str:
+        """Absolute (canonical) schema location of a dynamic
+        constraint_id: rewrite through the innermost (longest) $ref
+        prefix recorded at compile time."""
+        best = ""
+        for prefix in self.ref_targets:
+            if constraint_id.startswith(prefix) and len(prefix) > len(best):
+                best = prefix
+        if not best:
+            return constraint_id
+        return self.ref_targets[best] + constraint_id[len(best):]
+
+    def abs_locations(self) -> dict:
+        """constraint_id → absolute location for every leaf."""
+        return {
+            lf.constraint_id: self.abs_location(lf.constraint_id)
+            for lf in self.leaves
+        }
 
 
 @dataclass
@@ -340,6 +363,7 @@ class Compiler:
         self.options = options or Options()
         self.registry = registry or {}
         self.anchors: dict[str, Any] = {}
+        self._ref_targets: dict[str, str] = {}
         self._rref_depth = 0
         self._recursive_anchor_stack: list = []
         self._ann_stack: list = []
@@ -417,6 +441,60 @@ class Compiler:
     def _resolve_ref(self, ref: str) -> Any:
         return self._resolve_ref_doc(ref)[0]
 
+    # ---- absolute (canonical) schema locations ------------------------
+    def _doc_uri(self, doc: Any) -> str:
+        """Registry URI of a document ('' for the main spec)."""
+        if doc is self.spec:
+            return ""
+        for uri, d in self.registry.items():
+            if d is doc:
+                return uri
+        return ""
+
+    @staticmethod
+    def _pointer_of(doc: Any, node: Any) -> str | None:
+        """JSON pointer of `node` (by identity) within `doc`."""
+
+        def walk(n: Any, ptr: str) -> str | None:
+            if n is node:
+                return ptr
+            if isinstance(n, dict):
+                for k, v in n.items():
+                    tok = k.replace("~", "~0").replace("/", "~1")
+                    r = walk(v, f"{ptr}/{tok}")
+                    if r is not None:
+                        return r
+            elif isinstance(n, list):
+                for i, v in enumerate(n):
+                    r = walk(v, f"{ptr}/{i}")
+                    if r is not None:
+                        return r
+            return None
+
+        return walk(doc, "")
+
+    def _canonical_ref(self, ref: str, target: Any, ext_doc: Any | None) -> str:
+        """Canonical location of a $ref target — Snow's
+        absKeywordLocation base (Main.java:165-190): '{uri}#{pointer}'
+        with '' uri for the main document."""
+        doc = ext_doc if ext_doc is not None else self._doc_stack[-1]
+        uri = self._doc_uri(doc)
+        if ref.startswith("#/"):
+            ptr = ref[1:]
+        elif ref == "#":
+            ptr = ""
+        elif ref.startswith("#"):  # anchor: locate the node
+            ptr = self._pointer_of(doc, target) or ""
+        else:
+            _base, _, frag = ref.partition("#")
+            if frag.startswith("/"):
+                ptr = frag
+            elif frag:
+                ptr = self._pointer_of(doc, target) or ""
+            else:
+                ptr = ""
+        return f"{uri}#{ptr}"
+
     def _resolve_ref_doc(self, ref: str) -> tuple[Any, Any | None]:
         """Resolve a $ref in the *current document* context.
 
@@ -465,11 +543,15 @@ class Compiler:
         `ValidatorContext.java:470-472`) — the cheapest plan when only
         pass/fail is needed."""
         inst = Instance(None, None, "", row_schema=schema)
-        return self._compile(self.spec, inst, "#", collect=collect, ref_stack=())
+        c = self._compile(self.spec, inst, "#", collect=collect, ref_stack=())
+        c.ref_targets = self._ref_targets
+        return c
 
     def compile_column(self, name: str, dtype: DataType, spec: Any) -> Compiled:
         inst = Instance(F.col(name), dtype, f"/{name}")
-        return self._compile(spec, inst, f"#/{name}", collect=True, ref_stack=())
+        c = self._compile(spec, inst, f"#/{name}", collect=True, ref_stack=())
+        c.ref_targets = self._ref_targets
+        return c
 
     # ------------------------------------------------------------------
     def _compile(
@@ -540,6 +622,9 @@ class Compiler:
                 sub = Compiled(F.lit(True))
             else:
                 target, ext_doc = self._resolve_ref_doc(ref)
+                self._ref_targets[path + "/$ref"] = self._canonical_ref(
+                    ref, target, ext_doc
+                )
                 if ext_doc is not None:
                     self._doc_stack.append(ext_doc)
                 try:
@@ -1407,6 +1492,9 @@ class Compiler:
             conds.append(F.lit(True))  # permissive cut-off past the cap
             return
         target, target_doc = self._recursive_target()
+        self._ref_targets[f"{path}/$recursiveRef"] = (
+            f"{self._doc_uri(target_doc)}#{self._pointer_of(target_doc, target) or ''}"
+        )
         self._rref_depth += 1
         self._doc_stack.append(target_doc)
         try:

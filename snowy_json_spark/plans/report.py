@@ -142,3 +142,20 @@ def partition_verdicts(
         F.sum((~valid).cast("long")).alias("failed_rows"),
         F.min(valid).alias("passed"),
     )
+
+
+def with_abs_locations(v: DataFrame, plan: Compiled) -> DataFrame:
+    """Add Snow's absoluteKeywordLocation (`Main.java:165-190`) next to
+    the dynamic constraint_id: the canonical '{uri}#{pointer}' of the
+    keyword inside its schema resource, rewriting through $ref /
+    $recursiveRef prefixes recorded at compile time.  For ref-free
+    specs the two columns are identical."""
+    mapping = plan.abs_locations()
+    pairs = [x for kv in mapping.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    if not pairs:
+        return v.withColumn("abs_constraint_id", F.col("constraint_id"))
+    m = F.create_map(*pairs)
+    return v.withColumn(
+        "abs_constraint_id",
+        F.coalesce(F.element_at(m, F.col("constraint_id")), F.col("constraint_id")),
+    )

@@ -214,3 +214,45 @@ def test_recursive_ref_without_anchor_is_plain_root_ref(spark):
     plan = comp.compile_column("value", dt, spec)
     # inner.n is a string -> root's properties/n (integer) fails on row 1
     assert [r[0] for r in df.select(plan.valid).collect()] == [False, True]
+
+
+def test_absolute_schema_locations(spark):
+    """absKeywordLocation analog (Main.java:165-190): a leaf reached
+    through $ref reports both its dynamic path and the canonical
+    location inside the target schema resource."""
+    from snowy_json_spark.plans.report import violations, with_abs_locations
+
+    spec = {
+        "$defs": {"pos": {"minimum": 0}},
+        "properties": {"x": {"$ref": "#/$defs/pos"}},
+    }
+    df = spark.createDataFrame([(-1.0,)], "x double")
+    plan = compile_spec(spec, df.schema)
+    assert plan.abs_location("#/properties/x/$ref/minimum") == "#/$defs/pos/minimum"
+    rows = with_abs_locations(violations(df, plan, []), plan).collect()
+    assert rows[0]["constraint_id"] == "#/properties/x/$ref/minimum"
+    assert rows[0]["abs_constraint_id"] == "#/$defs/pos/minimum"
+
+
+def test_absolute_locations_cross_document_and_nested(spark):
+    from snowy_json_spark.plans.compiler import Compiler
+
+    dim = {"$defs": {"code": {"pattern": "^[a-z]{2}$"}}}
+    spec = {"properties": {"lang": {"$ref": "https://ex.test/dim#/$defs/code"}}}
+    df = spark.createDataFrame([("EN!",)], "lang string")
+    comp = Compiler(spec, registry={"https://ex.test/dim": dim})
+    plan = comp.compile_row(df.schema)
+    assert (
+        plan.abs_location("#/properties/lang/$ref/pattern")
+        == "https://ex.test/dim#/$defs/code/pattern"
+    )
+    # nested refs rewrite through the INNERMOST prefix
+    spec2 = {
+        "$defs": {"a": {"$ref": "#/$defs/b"}, "b": {"maximum": 5}},
+        "properties": {"x": {"$ref": "#/$defs/a"}},
+    }
+    plan2 = compile_spec(spec2, spark.createDataFrame([(9.0,)], "x double").schema)
+    assert (
+        plan2.abs_location("#/properties/x/$ref/$ref/maximum")
+        == "#/$defs/b/maximum"
+    )
