@@ -78,7 +78,7 @@ HASHED_BROADCAST_LIMIT = 10_000_000
 def duplicate_keys_hashed(
     df: DataFrame,
     keys: list[str],
-    broadcast_limit: int = HASHED_BROADCAST_LIMIT,
+    broadcast_limit: int | None = HASHED_BROADCAST_LIMIT,
 ) -> DataFrame:
     """Hash-first duplicate detection for wide/high-cardinality keys
     (e.g. urls): identical output to :func:`duplicate_keys`, a fraction
@@ -92,11 +92,17 @@ def duplicate_keys_hashed(
     verifies on the true keys, so collisions can never produce a false
     duplicate.
 
-    Strategy selection is data-driven: the candidate set is cached and
-    counted (8 B/hash — bounded state), and the semi-join broadcasts
-    only while the count stays under ``broadcast_limit``; above it
-    (high-duplication corpora) it degrades gracefully to a shuffle hash
-    join instead of dying on the broadcast ceiling."""
+    Join-strategy selection is data-driven: the candidate set is cached
+    and counted (8 B/hash of bounded state; the count's input is the
+    narrow projection and its shuffle 16 B/row), and the semi-join
+    broadcasts only while the count stays under ``broadcast_limit``;
+    above it (web crawls run 20-50% dups) it degrades gracefully to a
+    shuffle hash join instead of dying on the broadcast ceiling.
+    ``broadcast_limit=None`` skips the count and leaves the join
+    unhinted for AQE to size — measured SLOWER here (the planned SMJ
+    materializes the probe side's full-key shuffle before AQE can
+    convert, 201 s vs 110 s at 32M/local[4]), kept as the no-extra-job
+    option."""
     h = F.xxhash64(*[F.col(k) for k in keys]).alias("_h")
     cand = (
         df.select(h)
@@ -104,12 +110,15 @@ def duplicate_keys_hashed(
         .agg(F.count(F.lit(1)).alias("_c"))
         .filter(F.col("_c") > 1)
         .select("_h")
-    ).persist()
-    n_cand = cand.count()  # materializes the cache; one cheap agg job
-    if n_cand <= broadcast_limit:
-        cand_side = F.broadcast(cand)
+    )
+    if broadcast_limit is None:
+        cand_side = cand  # AQE picks broadcast vs shuffle from real size
     else:
-        cand_side = cand.hint("shuffle_hash")
+        cand = cand.persist()
+        n_cand = cand.count()  # materializes the cache; one agg job
+        cand_side = (
+            F.broadcast(cand) if n_cand <= broadcast_limit else cand.hint("shuffle_hash")
+        )
     cand_rows = df.select(*keys, h).join(cand_side, "_h")
     return (
         cand_rows.groupBy(*keys)
