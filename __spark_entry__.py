@@ -29,6 +29,7 @@ from snowy_json_spark.operators.drift import HistogramSpec, histogram
 from snowy_json_spark.operators.referential import anti_join_violations
 from snowy_json_spark.operators.similarity import (
     brute_force_topk,
+    cosine_near_duplicates,
     ivf_topk,
     lsh_topk,
     train_ivf_centroids,
@@ -497,6 +498,41 @@ def _q_ann_topk_embeddings(spark, sf_dir):
     return top.select("vec_id").orderBy("vec_id")
 
 
+def _q_cosine_planted_pairs(spark, sf_dir):
+    """Planted-duplicate recovery through the banded cosine-LSH near-dup
+    pipeline (similarity.py: with_lsh_bucket → band explode →
+    (band,bbits) self-join → exact-cosine verify): each odd vec (<200)
+    takes its even neighbor's embedding, so every (2k, 2k+1) pair has
+    identical sign bits in EVERY band → guaranteed band collision →
+    exact cosine 1 ≥ threshold.  Joining with the planted-pair set keeps
+    incidental near-dup hits out, so the output is SQL-expressible while
+    staying red if hyperplane signatures go nondeterministic across
+    partitions or the banding / verification drops pairs."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    )
+    leader = (F.col("vec_id") - F.col("vec_id") % 2).alias("lid")
+    src = emb.select("vec_id", leader)
+    vecs = emb.select(F.col("vec_id").alias("lid"), F.col("embedding").alias("lvec"))
+    derived = src.join(vecs, "lid").select(
+        "vec_id", F.col("lvec").alias("embedding")
+    )
+    nd = cosine_near_duplicates(derived, "vec_id", "embedding", threshold=0.999)
+    planted = (
+        emb.select(F.col("vec_id").alias("id_a"))
+        .filter(F.col("id_a") % 2 == 0)
+        .join(
+            emb.select(F.col("vec_id").alias("id_b")),
+            F.col("id_b") == F.col("id_a") + 1,
+        )
+    )
+    return (
+        nd.join(planted, ["id_a", "id_b"])
+        .select("id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine"))
+        .orderBy("id_a")
+    )
+
+
 # ---------------------------------------------------------------------------
 # rows-only (non-SQL-expressible: LSH/UDF paths; pinned by pytest goldens)
 # ---------------------------------------------------------------------------
@@ -598,6 +634,37 @@ def _q_value_quantiles_events(spark, sf_dir):
         F.round(q.getItem(0), 6).alias("p25"),
         F.round(q.getItem(1), 6).alias("p50"),
         F.round(q.getItem(2), 6).alias("p75"),
+    )
+
+
+def _q_tdigest_events(spark, sf_dir):
+    """Distributed t-digest sketch over events.value (operators/
+    tdigest.py: mapInPandas partials → tree merge).  n/lo/hi are exact
+    digest fields the oracle recomputes directly; the approximate
+    quantiles are asserted via partition-layout-independent *rank-error*
+    bounds (|empirical CDF at the estimate − q| < 0.01, the t-digest
+    guarantee at δ=200), so the booleans are stable even though the
+    estimates themselves depend on merge order."""
+    from snowy_json_spark.operators.tdigest import TDigest, tdigest_sketch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    row = tdigest_sketch(ev, "value", delta=200.0).first()
+    d = TDigest.from_row(row)
+    q25, q50, q99 = (float(x) for x in d.quantile([0.25, 0.5, 0.99]))
+    n = F.count("value")
+    rank = lambda est: F.sum((F.col("value") <= F.lit(est)).cast("long")) / n  # noqa: E731
+    checks = ev.agg(
+        (F.abs(rank(q25) - F.lit(0.25)) < 0.01).alias("q25_rank_ok"),
+        (F.abs(rank(q50) - F.lit(0.50)) < 0.01).alias("q50_rank_ok"),
+        (F.abs(rank(q99) - F.lit(0.99)) < 0.01).alias("q99_rank_ok"),
+    )
+    return checks.select(
+        F.lit(int(row["n"])).cast("long").alias("n_values"),
+        F.round(F.lit(float(row["lo"])), 6).alias("lo"),
+        F.round(F.lit(float(row["hi"])), 6).alias("hi"),
+        "q25_rank_ok",
+        "q50_rank_ok",
+        "q99_rank_ok",
     )
 
 
@@ -804,6 +871,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_verified_pairs": _q_minhash_verified_pairs,
         "simhash_planted_pairs": _q_simhash_planted_pairs,
         "unevaluated_props_documents": _q_unevaluated_props_documents,
+        "cosine_planted_pairs": _q_cosine_planted_pairs,
+        "tdigest_events": _q_tdigest_events,
         # rows-only (LSH / pandas-UDF paths; no SQL equivalent)
         "minhash_near_dups_documents": _q_minhash_near_dups_documents,
         "simhash_near_dups_documents": _q_simhash_near_dups_documents,
@@ -1176,5 +1245,31 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings
               ORDER BY cosine DESC, vec_id LIMIT 10
             ) ORDER BY vec_id
+        """,
+        # n/lo/hi come out of the digest row itself (exact by
+        # construction — stage-1 tracks them alongside the centroids);
+        # the rank-ok booleans are TRUE whenever the digest honors its
+        # rank-error guarantee, independent of partition layout.
+        "tdigest_events": """
+            SELECT COUNT(value) AS n_values,
+                   ROUND(MIN(value), 6) AS lo,
+                   ROUND(MAX(value), 6) AS hi,
+                   TRUE AS q25_rank_ok,
+                   TRUE AS q50_rank_ok,
+                   TRUE AS q99_rank_ok
+            FROM events
+        """,
+        # Every planted (2k, 2k+1) pair shares the even vector, so the
+        # exact side is cosine(v, v) = 1 for every non-degenerate vector
+        # — red if the Spark pipeline drops or mangles any pair.
+        "cosine_planted_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(a.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+            WHERE a.vec_id < 200 AND a.vec_id % 2 = 0 AND b.vec_id < 200
+              AND list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(a.embedding AS DOUBLE[])) > 0
+            ORDER BY id_a
         """,
     }
