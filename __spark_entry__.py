@@ -796,8 +796,35 @@ def _fixture_gif(w: int, h: int) -> bytes:
     return b"GIF89a" + struct.pack("<HH", w, h) + b"\xf7\x00\x00"
 
 
+def _fixture_wav(rate: int, channels: int, seconds: int) -> bytes:
+    import struct
+
+    byte_rate = rate * channels * 2
+    data = b"\x00" * (byte_rate * seconds)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, byte_rate, channels * 2, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _fixture_mp4(timescale: int, duration: int, w: int, h: int) -> bytes:
+    import struct
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + typ + payload
+
+    mvhd = box(b"mvhd", b"\x00" * 12 + struct.pack(">II", timescale, duration)
+               + b"\x00" * 80)
+    tkhd = box(b"tkhd", b"\x00\x00\x00\x07" + struct.pack(">IIII", 0, 0, 1, 0)
+               + struct.pack(">I", duration) + b"\x00" * 52
+               + struct.pack(">II", w << 16, h << 16))
+    return box(b"ftyp", b"isom\x00\x00\x02\x00") + box(b"moov", mvhd + box(b"trak", tkhd))
+
+
 _PNG_BYTES = _fixture_png(640, 480)
 _GIF_BYTES = _fixture_gif(37, 21)
+_WAV_BYTES = _fixture_wav(16000, 1, 2)
+_MP4_BYTES = _fixture_mp4(1000, 7500, 640, 360)
 
 
 def _q_payload_meta_documents(spark, sf_dir):
@@ -839,6 +866,81 @@ def _q_payload_meta_documents(spark, sf_dir):
     )
 
 
+def _q_media_meta_documents(spark, sf_dir):
+    """Audio/video twin of payload_meta: fixed WAV/MP4 container bytes
+    for doc_id%3∈{0,1} (utf-8 text bytes → error rows otherwise)
+    through the mapInPandas media-header parser
+    (multimodal.extract_media_metadata: WAV fmt/data chunks, MP4
+    mvhd/tkhd box walk); per-format counts/bytes/durations/dimensions.
+    The oracle rebuilds the same payloads and states the fixtures'
+    ground-truth duration/rate/size."""
+    import base64
+
+    from snowy_json_spark.operators.multimodal import extract_media_metadata
+
+    docs = _docs(spark, sf_dir)
+    wav_b64 = base64.b64encode(_WAV_BYTES).decode()
+    mp4_b64 = base64.b64encode(_MP4_BYTES).decode()
+    m = F.col("doc_id") % 3
+    payload = (
+        F.when(m == 0, F.unbase64(F.lit(wav_b64)))
+        .when(m == 1, F.unbase64(F.lit(mp4_b64)))
+        .otherwise(F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"))
+    )
+    src = docs.select(
+        F.col("doc_id").cast("string").alias("url"), payload.alias("html")
+    )
+    meta = extract_media_metadata(src)
+    return (
+        meta.groupBy(F.coalesce(F.col("format"), F.lit("none")).alias("fmt"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.count_distinct(F.col("sha256")).alias("n_sha"),
+            F.coalesce(F.max("duration_ms"), F.lit(0)).alias("max_dur_ms"),
+            F.coalesce(F.max("sample_rate").cast("long"), F.lit(0)).alias("max_rate"),
+            F.coalesce(F.max("width").cast("long"), F.lit(0)).alias("max_width"),
+        )
+        .orderBy("fmt")
+    )
+
+
+def _media_meta_sql() -> str:
+    """Media-meta oracle: same payload routing; ground-truth duration /
+    rate / dimensions computed from the identical fixture bytes at
+    query-build time."""
+    import base64
+    import hashlib
+
+    wav_b64 = base64.b64encode(_WAV_BYTES).decode()
+    mp4_b64 = base64.b64encode(_MP4_BYTES).decode()
+    wav_sha = hashlib.sha256(_WAV_BYTES).hexdigest()
+    mp4_sha = hashlib.sha256(_MP4_BYTES).hexdigest()
+    return f"""
+        WITH p AS (
+          SELECT
+            CASE doc_id % 3 WHEN 0 THEN 'wav' WHEN 1 THEN 'mp4' ELSE 'none' END AS fmt,
+            CASE doc_id % 3 WHEN 0 THEN from_base64('{wav_b64}')
+                            WHEN 1 THEN from_base64('{mp4_b64}')
+                            ELSE encode(COALESCE(text, '')) END AS payload,
+            CASE doc_id % 3 WHEN 0 THEN '{wav_sha}'
+                            WHEN 1 THEN '{mp4_sha}'
+                            ELSE sha256(COALESCE(text, '')) END AS sha,
+            CASE doc_id % 3 WHEN 0 THEN 2000 WHEN 1 THEN 7500 END AS dur_ms,
+            CASE doc_id % 3 WHEN 0 THEN 16000 END AS rate,
+            CASE doc_id % 3 WHEN 1 THEN 640 END AS width
+          FROM documents)
+        SELECT fmt,
+          COUNT(*) AS n_rows,
+          CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
+          CAST(COUNT(DISTINCT sha) AS BIGINT) AS n_sha,
+          CAST(COALESCE(MAX(dur_ms), 0) AS BIGINT) AS max_dur_ms,
+          CAST(COALESCE(MAX(rate), 0) AS BIGINT) AS max_rate,
+          CAST(COALESCE(MAX(width), 0) AS BIGINT) AS max_width
+        FROM p GROUP BY fmt ORDER BY fmt
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_validation_documents": _q_row_validation_documents,
@@ -873,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unevaluated_props_documents": _q_unevaluated_props_documents,
         "cosine_planted_pairs": _q_cosine_planted_pairs,
         "tdigest_events": _q_tdigest_events,
+        "media_meta_documents": _q_media_meta_documents,
         # rows-only (LSH / pandas-UDF paths; no SQL equivalent)
         "minhash_near_dups_documents": _q_minhash_near_dups_documents,
         "simhash_near_dups_documents": _q_simhash_near_dups_documents,
@@ -993,6 +1096,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "detected_lang_documents": _lang_id_sql(),
         "payload_meta_documents": _payload_meta_sql(),
+        "media_meta_documents": _media_meta_sql(),
         "minhash_verified_pairs": f"""
             WITH sh AS (
               SELECT DISTINCT doc_id, w AS shingle

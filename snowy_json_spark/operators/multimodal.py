@@ -173,6 +173,177 @@ def extract_image_metadata(
     return df.select(url_col, payload_col).mapInPandas(process, IMAGE_META_SCHEMA)
 
 
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("format", StringType()),
+        StructField("duration_ms", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sha256", StringType()),
+    ]
+)
+
+#: MPEG-1 Layer III bitrate (kbps) and sample-rate tables, header index
+_MP3_BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_MP3_RATES = [44100, 48000, 32000]
+
+
+def parse_media_header(payload: bytes) -> tuple[str, int | None, int | None, int | None, int | None, int | None]:
+    """(format, duration_ms, sample_rate, n_channels, width, height)
+    from real audio/video container headers — pure struct parsing, no
+    codec libraries (same approach as ``parse_image_header``):
+
+    - WAV: RIFF/WAVE fmt chunk (channels, rate, byte-rate) + data size
+      → exact duration.
+    - FLAC: STREAMINFO block → rate, channels, total samples → exact
+      duration.
+    - MP4/ISO-BMFF: box walk to moov/mvhd (timescale+duration) and the
+      first trak/tkhd (16.16 fixed-point presentation width/height).
+    - MP3: optional ID3v2 skip, first frame header → rate/channels and
+      a CBR duration ESTIMATE from the frame bitrate (VBR needs a full
+      frame scan — documented approximation).
+
+    Raises ``ValueError`` on unrecognized/truncated payloads; callers
+    emit error rows, never task failures."""
+    if not payload:
+        raise ValueError("empty payload")
+    # ---- WAV ----
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        i, n = 12, len(payload)
+        rate = channels = byte_rate = data_size = None
+        while i + 8 <= n:
+            cid = payload[i : i + 4]
+            (sz,) = struct.unpack("<I", payload[i + 4 : i + 8])
+            if cid == b"fmt " and i + 24 <= n:
+                channels, rate, byte_rate = struct.unpack(
+                    "<HII", payload[i + 10 : i + 20]
+                )
+            elif cid == b"data":
+                data_size = sz
+            i += 8 + sz + (sz & 1)  # chunks are word-aligned
+        if rate is None:
+            raise ValueError("WAV without fmt chunk")
+        dur = (
+            int(data_size * 1000 / byte_rate)
+            if data_size is not None and byte_rate
+            else None
+        )
+        return "wav", dur, rate, channels, None, None
+    # ---- FLAC ----
+    if payload[:4] == b"fLaC":
+        # first metadata block must be STREAMINFO (34 bytes)
+        if len(payload) < 42 or (payload[4] & 0x7F) != 0:
+            raise ValueError("FLAC without STREAMINFO")
+        si = payload[8:42]
+        bits = int.from_bytes(si[10:18], "big")
+        rate = (bits >> 44) & 0xFFFFF
+        channels = ((bits >> 41) & 0x7) + 1
+        total_samples = bits & ((1 << 36) - 1)
+        dur = int(total_samples * 1000 / rate) if rate and total_samples else None
+        return "flac", dur, rate, channels, None, None
+    # ---- MP4 / ISO base media ----
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+
+        def boxes(buf: bytes, start: int, end: int):
+            i = start
+            while i + 8 <= end:
+                (sz,) = struct.unpack(">I", buf[i : i + 4])
+                typ = buf[i + 4 : i + 8]
+                hdr = 8
+                if sz == 1 and i + 16 <= end:  # 64-bit largesize
+                    (sz,) = struct.unpack(">Q", buf[i + 8 : i + 16])
+                    hdr = 16
+                if sz < hdr:
+                    return
+                yield typ, i + hdr, min(i + sz, end)
+                i += sz
+
+        dur_ms = width = height = None
+        for typ, b0, b1 in boxes(payload, 0, len(payload)):
+            if typ != b"moov":
+                continue
+            for t2, c0, c1 in boxes(payload, b0, b1):
+                if t2 == b"mvhd" and c1 - c0 >= 20:
+                    ver = payload[c0]
+                    if ver == 1 and c1 - c0 >= 28:
+                        (ts,) = struct.unpack(">I", payload[c0 + 20 : c0 + 24])
+                        (d,) = struct.unpack(">Q", payload[c0 + 24 : c0 + 32])
+                    else:
+                        ts, d = struct.unpack(">II", payload[c0 + 12 : c0 + 20])
+                    if ts:
+                        dur_ms = int(d * 1000 / ts)
+                elif t2 == b"trak" and width is None:
+                    for t3, d0, d1 in boxes(payload, c0, c1):
+                        if t3 == b"tkhd" and d1 - d0 >= 84:
+                            ver = payload[d0]
+                            off = d0 + (96 if ver == 1 else 84) - 8
+                            if off + 8 <= d1:
+                                w_fx, h_fx = struct.unpack(
+                                    ">II", payload[off : off + 8]
+                                )
+                                if w_fx and h_fx:
+                                    width, height = w_fx >> 16, h_fx >> 16
+        if dur_ms is None and width is None:
+            raise ValueError("MP4 without moov/mvhd")
+        return "mp4", dur_ms, None, None, width, height
+    # ---- MP3 ----
+    i = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        # syncsafe 28-bit tag size
+        i = 10 + (
+            (payload[6] << 21) | (payload[7] << 14) | (payload[8] << 7) | payload[9]
+        )
+    if i + 4 <= len(payload) and payload[i] == 0xFF and (payload[i + 1] & 0xE0) == 0xE0:
+        hdr = payload[i : i + 4]
+        if (hdr[1] & 0x18) == 0x18 and (hdr[1] & 0x06) == 0x02:  # MPEG-1 Layer III
+            br_idx = hdr[2] >> 4
+            sr_idx = (hdr[2] >> 2) & 0x3
+            if 0 < br_idx < 15 and sr_idx < 3:
+                bitrate = _MP3_BITRATES[br_idx] * 1000
+                rate = _MP3_RATES[sr_idx]
+                channels = 1 if (hdr[3] >> 6) == 3 else 2
+                dur = int(len(payload) * 8 * 1000 / bitrate)  # CBR estimate
+                return "mp3", dur, rate, channels, None, None
+        raise ValueError("unsupported MP3 frame header")
+    raise ValueError("unrecognized media container")
+
+
+def extract_media_metadata(
+    df: DataFrame, url_col: str = "url", payload_col: str = "html", strict: bool = False
+) -> DataFrame:
+    """Audio/video twin of ``extract_image_metadata``: Arrow-batched
+    ``mapInPandas`` (no shuffle, constant memory per task), real header
+    parsing, error-row pattern for invalid payloads."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in MEDIA_META_SCHEMA.fields}
+            for u, b in zip(pdf[url_col], pdf[payload_col]):
+                payload = bytes(b) if b is not None else b""
+                meta: tuple = (None,) * 6
+                sha = hashlib.sha256(payload).hexdigest() if payload else None
+                try:
+                    meta = parse_media_header(payload)
+                except ValueError:
+                    if strict:
+                        raise
+                rows["url"].append(u)
+                rows["n_bytes"].append(len(payload))
+                for name, v in zip(
+                    ("format", "duration_ms", "sample_rate", "n_channels", "width", "height"),
+                    meta,
+                ):
+                    rows[name].append(v)
+                rows["sha256"].append(sha)
+            yield pd.DataFrame(rows)
+
+    return df.select(url_col, payload_col).mapInPandas(process, MEDIA_META_SCHEMA)
+
+
 FRAME_SAMPLE_SCHEMA = StructType(
     [
         StructField("url", StringType()),

@@ -3,7 +3,7 @@
 The reference's entire correctness story is running the official suite
 per draft (`Test.java:80-85,105-186,319-478`, README.md:91-97).  This
 runner reproduces that shape over the static-schema-expressible subset:
-`tests/official_suite/{draft7,draft2019-09}/*.json` hold suite groups
+`tests/official_suite/{draft6,draft7,draft2019-09}/*.json` hold suite groups
 in the official format (`[{description, schema, tests: [{description,
 data, valid}]}]`), authored from the public suite's well-known cases.
 
@@ -48,6 +48,10 @@ from snowy_json_spark.plans.compiler import Compiler, Options
 SUITE_DIR = pathlib.Path(__file__).parent / "official_suite"
 DRAFT_OPTS = {
     # format stays annotation-only: the official main suite never asserts it
+    # draft6: the shared-keyword files (the official suite carries the
+    # same cases per draft); draft-7-only keywords (if/then/else,
+    # content*) excluded, matching Test.java:80-85's per-draft walk
+    "draft6": dict(spec_version="draft-06", assert_format=False),
     "draft7": dict(spec_version="draft-07", assert_format=False),
     "draft2019-09": dict(spec_version="2019-09"),
 }
