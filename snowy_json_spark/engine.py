@@ -96,6 +96,19 @@ class ValidationEngine:
         )
 
     # ------------------------------------------------------------------
+    def applications(self, df: DataFrame) -> DataFrame:
+        """Pass-result recording at the engine surface: one row per
+        (row, keyword application) with a ``passed`` flag and Snow's
+        absolute schema location (`ValidatorContext.java:851-865`
+        records every application, pass and fail).  Dense — rows ×
+        leaves — by design; use ``run().violations`` for the sparse
+        view."""
+        from .plans.report import applications, with_abs_locations
+
+        plan = self.compile(df)
+        return with_abs_locations(applications(df, plan, self.id_cols), plan)
+
+    # ------------------------------------------------------------------
     def _run_table_checks(
         self,
         df: DataFrame,

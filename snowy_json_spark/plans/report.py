@@ -129,6 +129,44 @@ def annotation_catalog(plan: Compiled) -> list[dict]:
     )
 
 
+def applications(df: DataFrame, plan: Compiled, id_cols: list[str]) -> DataFrame:
+    """Snow's pass-result recording analog: an output row for EVERY
+    keyword application, pass and fail (`ValidatorContext.java:851-865`
+    stores an ``Error`` per application; Main prints both).  One row per
+    (row, compiled leaf): (ids..., constraint_id, instance_path,
+    passed).
+
+    Output is rows × leaves BY DESIGN (Snow pays the same); use
+    :func:`violations` for the sparse failed-only view on large tables.
+    Documented approximation: applications pruned by a guard (branch
+    not taken, property absent) report ``passed=true`` with the guard
+    folded into the leaf condition, where Snow would flag them pruned —
+    the compiled plan keeps no separate per-leaf guard column."""
+    if not plan.leaves:
+        return df.select(
+            *id_cols,
+            F.lit(None).cast("string").alias("constraint_id"),
+            F.lit(None).cast("string").alias("instance_path"),
+            F.lit(None).cast("boolean").alias("passed"),
+        ).limit(0)
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(leaf.constraint_id).alias("constraint_id"),
+                F.lit(leaf.instance_path).alias("instance_path"),
+                (~F.coalesce(leaf.failed, F.lit(False))).alias("passed"),
+            )
+            for leaf in plan.leaves
+        ]
+    )
+    return df.select(*id_cols, F.explode(arr).alias("_a")).select(
+        *id_cols,
+        F.col("_a.constraint_id").alias("constraint_id"),
+        F.col("_a.instance_path").alias("instance_path"),
+        F.col("_a.passed").alias("passed"),
+    )
+
+
 def partition_verdicts(
     df: DataFrame, plan: Compiled, partition_cols: list[str]
 ) -> DataFrame:
