@@ -55,6 +55,19 @@ from .plans.report import (
 from .streaming.manifest import Manifest, lineage_hash, partition_key_expr
 
 
+def _digest_dict(row) -> dict:
+    """JSON-serializable t-digest (snapshot format); empty-input safe."""
+    if row is None:
+        return {"means": [], "weights": [], "n": 0, "lo": 0.0, "hi": 0.0}
+    return {
+        "means": [float(x) for x in row["means"]],
+        "weights": [float(x) for x in row["weights"]],
+        "n": int(row["n"]),
+        "lo": float(row["lo"]),
+        "hi": float(row["hi"]),
+    }
+
+
 @dataclass
 class ValidationResult:
     verdicts: DataFrame  # per-partition: partition cols + row_count/failed_rows/passed
@@ -209,6 +222,32 @@ class ValidationEngine:
                 v["check_id"] = chk.get("id")
                 v["quantiles"] = cur_q
                 drift_out.append(v)
+            elif kind == "tdigest_drift":
+                # north-star drift variant: t-digest sketch vs the
+                # reference snapshot's digest, KS on the digest CDFs
+                # (tail-accurate where fixed-bucket histograms are not)
+                from .operators.tdigest import TDigest, tdigest_ks, tdigest_sketch
+
+                expr = chk.get("expr")
+                src = df.withColumn(chk["column"], F.expr(expr)) if expr else df
+                cur = _digest_dict(
+                    tdigest_sketch(src, chk["column"], chk.get("delta", 200.0)).first()
+                )
+                snap = (snapshot or {}).get(chk.get("id"), cur)
+                ks_fail = chk.get("ks_fail", 0.2)
+                if cur["n"] == 0 or snap["n"] == 0:
+                    v = {"group": None, "psi": None, "ks": None,
+                         "status": "missing_current" if cur["n"] == 0 else "missing_snapshot"}
+                else:
+                    k = tdigest_ks(TDigest(**cur), TDigest(**snap))
+                    v = {
+                        "group": None,
+                        "psi": None,
+                        "ks": k,
+                        "status": "fail" if k >= ks_fail else "pass",
+                    }
+                v["check_id"] = chk.get("id")
+                drift_out.append(v)
             else:
                 raise SpecError(f"unknown table check kind: {kind!r}")
 
@@ -346,7 +385,7 @@ class ValidationEngine:
         drift_exprs: dict = {}
         for chk in self.table_checks:
             kind = chk.get("kind")
-            if kind in ("drift", "quantile_drift"):
+            if kind in ("drift", "quantile_drift", "tdigest_drift"):
                 expr = chk.get("expr")
                 if expr:
                     drift_exprs[chk["column"]] = F.expr(expr).alias(chk["column"])
@@ -403,7 +442,7 @@ class ValidationEngine:
         # flagged table — drop the exprs so they aren't re-applied
         checks_for_back = [
             {k: v for k, v in chk.items() if k != "expr"}
-            if chk.get("kind") in ("drift", "quantile_drift")
+            if chk.get("kind") in ("drift", "quantile_drift", "tdigest_drift")
             else chk
             for chk in self.table_checks
         ]
@@ -439,6 +478,12 @@ class ValidationEngine:
             elif kind == "quantile_drift":
                 probs = chk.get("probs", [0.25, 0.5, 0.75, 0.9, 0.99])
                 snap[chk["id"]] = collect_quantiles(src, chk["column"], probs)
+            elif kind == "tdigest_drift":
+                from .operators.tdigest import tdigest_sketch
+
+                snap[chk["id"]] = _digest_dict(
+                    tdigest_sketch(src, chk["column"], chk.get("delta", 200.0)).first()
+                )
         return snap
 
     @staticmethod
