@@ -498,6 +498,31 @@ def _q_ann_topk_embeddings(spark, sf_dir):
     return top.select("vec_id").orderBy("vec_id")
 
 
+def _q_ivf_exhaustive_topk(spark, sf_dir):
+    """IVF with n_probe = n_cells scans every cell, so the result must
+    equal exact brute-force top-k regardless of where k-means placed
+    the centroids — an end-to-end SQL-oracle check of the IVF plumbing
+    (cell assignment must partition the data: a row lost or duplicated
+    by with_ivf_cell/ivf_topk breaks the equality).  The pruned
+    (n_probe < n_cells) variant stays rows-only with recall tests."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    row = emb.filter(F.col("vec_id") == 0).first()
+    centroids = train_ivf_centroids(emb, "embedding", n_cells=8)
+    celled = with_ivf_cell(emb, "embedding", centroids)
+    return (
+        ivf_topk(
+            celled,
+            "embedding",
+            [float(x) for x in row["embedding"]],
+            centroids,
+            k=10,
+            n_probe=8,
+        )
+        .select("vec_id")
+        .orderBy("vec_id")
+    )
+
+
 def _q_cosine_planted_pairs(spark, sf_dir):
     """Planted-duplicate recovery through the banded cosine-LSH near-dup
     pipeline (similarity.py: with_lsh_bucket → band explode →
@@ -976,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_planted_pairs": _q_cosine_planted_pairs,
         "tdigest_events": _q_tdigest_events,
         "media_meta_documents": _q_media_meta_documents,
+        "ivf_exhaustive_topk": _q_ivf_exhaustive_topk,
         # rows-only (LSH / pandas-UDF paths; no SQL equivalent)
         "minhash_near_dups_documents": _q_minhash_near_dups_documents,
         "simhash_near_dups_documents": _q_simhash_near_dups_documents,
@@ -1342,6 +1368,17 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_a, id_b
         """,
         "ann_topk_embeddings": """
+            SELECT vec_id FROM (
+              SELECT vec_id,
+                     list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS cosine
+              FROM embeddings
+              ORDER BY cosine DESC, vec_id LIMIT 10
+            ) ORDER BY vec_id
+        """,
+        # exhaustive IVF (n_probe = n_cells) == exact brute force, so
+        # the ann_topk oracle applies verbatim
+        "ivf_exhaustive_topk": """
             SELECT vec_id FROM (
               SELECT vec_id,
                      list_cosine_similarity(CAST(embedding AS DOUBLE[]),

@@ -92,3 +92,25 @@ def test_referential_is_broadcast_anti_join(spark, pages):
 def test_filter_pushdown_reaches_scan(spark, pages):
     p = explain(pages.filter(F.col("lang") == "en").select("url"))
     assert "EqualTo(lang,en)" in p, "predicate not pushed to parquet scan"
+
+
+def test_tdigest_scan_prunes_to_value_column(spark, pages):
+    """The t-digest partial stage must scan ONLY the sketched column —
+    the wide source (html binary) never crosses into the Arrow batches."""
+    from snowy_json_spark.operators.tdigest import tdigest_sketch
+
+    p = explain(tdigest_sketch(pages.withColumn("tl", F.length("text")), "tl"))
+    for line in read_schema_lines(p):
+        assert "html" not in line, line
+        assert "url" not in line, line
+
+
+def test_media_metadata_scan_prunes_to_payload(spark, pages):
+    """extract_media_metadata reads url + payload only, even when the
+    source has more columns."""
+    from snowy_json_spark.operators.multimodal import extract_media_metadata
+
+    p = explain(extract_media_metadata(pages, "url", "html"))
+    (schema_line,) = read_schema_lines(p)
+    assert "warc_ts" not in schema_line, schema_line
+    assert "text" not in schema_line, schema_line
