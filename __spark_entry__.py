@@ -523,6 +523,24 @@ def _q_ivf_exhaustive_topk(spark, sf_dir):
     )
 
 
+def _q_lsh_exhaustive_topk(spark, sf_dir):
+    """Hyperplane-LSH with the probe ring covering the whole bucket
+    space (2 planes → 4 buckets, Hamming-2 multi-probe reaches all of
+    them) must equal exact brute-force top-k — the LSH analog of
+    ivf_exhaustive_topk: bucket assignment + probe enumeration + the
+    scoring path all get a SQL-oracle equality check; the pruned
+    variant stays rows-only with recall tests."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    row = emb.filter(F.col("vec_id") == 0).first()
+    q = [float(x) for x in row["embedding"]]
+    b = with_lsh_bucket(emb, "embedding", dim=len(q), n_planes=2, seed=42)
+    return (
+        lsh_topk(b, "embedding", q, k=10, n_planes=2, n_probes=4)
+        .select("vec_id")
+        .orderBy("vec_id")
+    )
+
+
 def _q_cosine_planted_pairs(spark, sf_dir):
     """Planted-duplicate recovery through the banded cosine-LSH near-dup
     pipeline (similarity.py: with_lsh_bucket → band explode →
@@ -1002,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_events": _q_tdigest_events,
         "media_meta_documents": _q_media_meta_documents,
         "ivf_exhaustive_topk": _q_ivf_exhaustive_topk,
+        "lsh_exhaustive_topk": _q_lsh_exhaustive_topk,
         # rows-only (LSH / pandas-UDF paths; no SQL equivalent)
         "minhash_near_dups_documents": _q_minhash_near_dups_documents,
         "simhash_near_dups_documents": _q_simhash_near_dups_documents,
@@ -1368,6 +1387,16 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_a, id_b
         """,
         "ann_topk_embeddings": """
+            SELECT vec_id FROM (
+              SELECT vec_id,
+                     list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS cosine
+              FROM embeddings
+              ORDER BY cosine DESC, vec_id LIMIT 10
+            ) ORDER BY vec_id
+        """,
+        # exhaustive LSH (probe ring = whole bucket space) == brute force
+        "lsh_exhaustive_topk": """
             SELECT vec_id FROM (
               SELECT vec_id,
                      list_cosine_similarity(CAST(embedding AS DOUBLE[]),
