@@ -909,6 +909,31 @@ def _q_payload_meta_documents(spark, sf_dir):
     )
 
 
+def _q_gopher_quality_documents(spark, sf_dir):
+    """Gopher-rule document quality filtering (text.gopher_flags —
+    published rule set, pure-Column arithmetic over the shared
+    normalized word array): per-source kept-document counts and
+    per-rule failure counts, vs a DuckDB oracle computing the identical
+    integer/ratio arithmetic.  min_words/min_mean_word_len tightened to
+    bounds that actually split this corpus (40 words / mean 4.0)."""
+    from snowy_json_spark.operators.text import gopher_flags
+
+    docs = _docs(spark, sf_dir)
+    g = gopher_flags(F.col("text"), min_words=40, min_mean_word_len=4.0)
+    return (
+        docs.select("source", g.alias("g"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("g.keep").cast("long")).alias("n_keep"),
+            F.sum((~F.col("g.word_count_ok")).cast("long")).alias("n_fail_word_count"),
+            F.sum((~F.col("g.mean_word_len_ok")).cast("long")).alias("n_fail_mean_len"),
+            F.sum((~F.col("g.stopwords_ok")).cast("long")).alias("n_fail_stopwords"),
+        )
+        .orderBy("source")
+    )
+
+
 def _q_media_meta_documents(spark, sf_dir):
     """Audio/video twin of payload_meta: fixed WAV/MP4 container bytes
     for doc_id%3∈{0,1} (utf-8 text bytes → error rows otherwise)
@@ -1019,6 +1044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_planted_pairs": _q_cosine_planted_pairs,
         "tdigest_events": _q_tdigest_events,
         "media_meta_documents": _q_media_meta_documents,
+        "gopher_quality_documents": _q_gopher_quality_documents,
         "ivf_exhaustive_topk": _q_ivf_exhaustive_topk,
         "lsh_exhaustive_topk": _q_lsh_exhaustive_topk,
         # rows-only (LSH / pandas-UDF paths; no SQL equivalent)
@@ -1142,6 +1168,36 @@ def oracle_sql() -> dict[str, str]:
         "detected_lang_documents": _lang_id_sql(),
         "payload_meta_documents": _payload_meta_sql(),
         "media_meta_documents": _media_meta_sql(),
+        # identical normalized word array + integer/ratio arithmetic as
+        # text.gopher_flags; stop list inlined from GOPHER_STOPWORDS
+        "gopher_quality_documents": f"""
+            WITH g AS (
+              SELECT source,
+                     len({_WORDS}) AS n,
+                     list_sum(list_transform({_WORDS}, w -> length(w))) * 1.0
+                       / NULLIF(len({_WORDS}), 0) AS mean_len,
+                     len(list_filter({_WORDS}, w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
+                     len(list_filter({_WORDS}, w -> contains(w, '...'))) AS n_ell,
+                     len(list_filter({_WORDS}, w -> list_contains(
+                       ['the','be','to','of','and','that','have','with'], w))) AS n_stop
+              FROM documents),
+            f AS (
+              SELECT source,
+                     (n >= 40 AND n <= 100000) AS word_count_ok,
+                     (mean_len >= 4.0 AND mean_len <= 10.0) AS mean_len_ok,
+                     (n > 0 AND n_alpha * 1.0 / n >= 0.8) AS alpha_ok,
+                     (n = 0 OR n_ell * 1.0 / n <= 0.1) AS ellipsis_ok,
+                     (n_stop >= 2) AS stop_ok
+              FROM g)
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN word_count_ok AND mean_len_ok AND alpha_ok
+                                  AND ellipsis_ok AND stop_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+                   CAST(SUM(CASE WHEN NOT word_count_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_word_count,
+                   CAST(SUM(CASE WHEN NOT mean_len_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_mean_len,
+                   CAST(SUM(CASE WHEN NOT stop_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stopwords
+            FROM f GROUP BY source ORDER BY source
+        """,
         "minhash_verified_pairs": f"""
             WITH sh AS (
               SELECT DISTINCT doc_id, w AS shingle

@@ -151,3 +151,70 @@ def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         detect_language(c).alias("detected_lang"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality filtering (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", §A1.1 — public rule set).  No Snow analog: this
+# is the training-data-pipeline document filter, expressed as pure
+# Column arithmetic over the same normalized word array the other text
+# operators use, so every rule is whole-stage-codegen JVM-side AND
+# exactly reproducible in the DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+#: minimal high-frequency English stop list used by the ≥2-hits rule
+GOPHER_STOPWORDS = "the be to of and that have with".split()
+
+
+def gopher_flags(
+    col: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_word_ratio: float = 0.8,
+    max_ellipsis_word_ratio: float = 0.1,
+    min_stopword_hits: int = 2,
+) -> Column:
+    """Struct of per-rule booleans (True = rule satisfied) + ``keep``.
+
+    Rules (defaults = the published Gopher bounds): word count within
+    [min,max]; mean word length within [3,10]; ≥80% of words contain an
+    alphabetic character; ≤10% of words contain an ellipsis; at least 2
+    stop-word hits.  All exact integer/ratio arithmetic — deterministic
+    and oracle-checkable."""
+    ws = words(col)
+    n = F.size(ws)
+    total_len = F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w))
+    mean_len = F.when(n > 0, total_len / n).otherwise(F.lit(0.0))
+    n_alpha = F.size(F.filter(ws, lambda w: w.rlike("[a-z]")))
+    n_ellipsis = F.size(F.filter(ws, lambda w: F.instr(w, "...") > 0))
+    sw = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n_stop = F.size(F.filter(ws, lambda w: F.array_contains(sw, w)))
+    word_count_ok = (n >= F.lit(min_words)) & (n <= F.lit(max_words))
+    mean_len_ok = (mean_len >= F.lit(min_mean_word_len)) & (
+        mean_len <= F.lit(max_mean_word_len)
+    )
+    alpha_ok = F.when(n > 0, n_alpha / n >= F.lit(min_alpha_word_ratio)).otherwise(
+        F.lit(False)
+    )
+    ellipsis_ok = F.when(
+        n > 0, n_ellipsis / n <= F.lit(max_ellipsis_word_ratio)
+    ).otherwise(F.lit(True))
+    stop_ok = n_stop >= F.lit(min_stopword_hits)
+    return F.struct(
+        word_count_ok.alias("word_count_ok"),
+        mean_len_ok.alias("mean_word_len_ok"),
+        alpha_ok.alias("alpha_ratio_ok"),
+        ellipsis_ok.alias("ellipsis_ok"),
+        stop_ok.alias("stopwords_ok"),
+        (word_count_ok & mean_len_ok & alpha_ok & ellipsis_ok & stop_ok).alias(
+            "keep"
+        ),
+    )
+
+
+def gopher_filter(df: DataFrame, text_col: str, **bounds) -> DataFrame:
+    """Rows passing every Gopher rule (filter pushes to the scan around
+    the codegen'd flag expression; no shuffle)."""
+    return df.filter(gopher_flags(F.col(text_col), **bounds)["keep"])

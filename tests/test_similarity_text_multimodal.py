@@ -225,3 +225,28 @@ def test_payload_stats(spark, binary_df):
     assert s["n_rows"] == 4
     assert s["max_bytes"] == 360
     assert s["empty_rate"] == pytest.approx(1 / 3)  # of the 3 non-null
+
+
+def test_gopher_flags_rules(spark):
+    from snowy_json_spark.operators.text import gopher_filter, gopher_flags
+
+    rows = [
+        # keeps: 60 plain words incl. stopwords
+        (1, "the quick brown fox jumps over the lazy dog and runs far " * 5),
+        (2, "tiny doc"),  # fails word count
+        (3, "the " + "pneumonoultramicroscopic supercalifragilistic " * 30),  # mean len
+        (4, ("90210 12345 55555 00000 99999 " * 12) + "the be to"),  # alpha ratio
+        (5, "the be to of " + "and that have with more words here now " * 5 + "wait... " * 20),  # ellipsis
+        (6, "uno dos tres quatro cinco seis siete ocho nueve diez " * 6),  # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    g = gopher_flags(F.col("text"), min_words=20)
+    got = {r["id"]: r["g"].asDict() for r in df.select("id", g.alias("g")).collect()}
+    assert got[1]["keep"]
+    assert not got[2]["word_count_ok"]
+    assert not got[3]["mean_word_len_ok"]
+    assert not got[4]["alpha_ratio_ok"]
+    assert not got[5]["ellipsis_ok"]
+    assert not got[6]["stopwords_ok"]
+    kept = gopher_filter(df, "text", min_words=20).count()
+    assert kept == 1
