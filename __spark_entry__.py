@@ -909,6 +909,42 @@ def _q_payload_meta_documents(spark, sf_dir):
     )
 
 
+def _q_url_canonical_documents(spark, sf_dir):
+    """URL canonicalization end-to-end (operators/urls.py): three
+    planted variants of every logical URL — uppercase host + explicit
+    :443 + tracking param, unsorted query + fragment, and the clean
+    form — must all collapse to one canonical string.  The canonical
+    key is (doc_id%50 host, doc_id%7 path) ≡ doc_id mod 350, so the
+    oracle computes the expected group structure from doc_id arithmetic
+    alone: under-merging (a variant not normalized) or over-merging
+    (path/query dropped) both shift every count."""
+    from snowy_json_spark.operators.urls import canonical_duplicate_groups
+
+    docs = _docs(spark, sf_dir)
+    d, m = F.col("doc_id"), F.col("doc_id") % 3
+    hostl = F.concat(
+        F.lit("www.site"), (d % 50).cast("string"), F.lit(".example.com")
+    )
+    path = F.concat(F.lit("/page/"), (d % 7).cast("string"))
+    url = F.concat(
+        F.lit("https://"),
+        F.when(m == 0, F.concat(F.upper(hostl), F.lit(":443"))).otherwise(hostl),
+        path,
+        F.when(m == 0, F.lit("?utm_source=t&b=2&a=1"))
+        .when(m == 1, F.lit("?b=2&a=1#frag"))
+        .otherwise(F.lit("?a=1&b=2")),
+    )
+    groups = canonical_duplicate_groups(
+        docs.select(url.alias("url")), min_count=1
+    )
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_canonical"),
+        F.sum((F.col("n_variants") >= 2).cast("long")).alias("n_dup_groups"),
+        F.max("n_variants").alias("max_group"),
+        F.sum("n_variants").alias("n_urls"),
+    )
+
+
 def _q_gopher_quality_documents(spark, sf_dir):
     """Gopher-rule document quality filtering (text.gopher_flags —
     published rule set, pure-Column arithmetic over the shared
@@ -1045,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_events": _q_tdigest_events,
         "media_meta_documents": _q_media_meta_documents,
         "gopher_quality_documents": _q_gopher_quality_documents,
+        "url_canonical_documents": _q_url_canonical_documents,
         "ivf_exhaustive_topk": _q_ivf_exhaustive_topk,
         "lsh_exhaustive_topk": _q_lsh_exhaustive_topk,
         # rows-only (LSH / pandas-UDF paths; no SQL equivalent)
@@ -1168,6 +1205,19 @@ def oracle_sql() -> dict[str, str]:
         "detected_lang_documents": _lang_id_sql(),
         "payload_meta_documents": _payload_meta_sql(),
         "media_meta_documents": _media_meta_sql(),
+        # ground truth from the planted-variant construction: canonical
+        # identity ≡ doc_id mod 350 (50 hosts × 7 paths) — no URL logic
+        # on the oracle side, so the two sides cannot share a bug
+        "url_canonical_documents": """
+            WITH g AS (
+              SELECT doc_id % 350 AS k, COUNT(*) AS c
+              FROM documents GROUP BY 1)
+            SELECT COUNT(*) AS n_canonical,
+                   CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+                   CAST(MAX(c) AS BIGINT) AS max_group,
+                   CAST(SUM(c) AS BIGINT) AS n_urls
+            FROM g
+        """,
         # identical normalized word array + integer/ratio arithmetic as
         # text.gopher_flags; stop list inlined from GOPHER_STOPWORDS
         "gopher_quality_documents": f"""
