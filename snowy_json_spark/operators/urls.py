@@ -25,8 +25,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: query parameters that never affect content identity
-TRACKING_PARAMS = ("utm_", "fbclid", "gclid", "msclkid", "ref")
+#: query parameter KEYS that never affect content identity (exact
+#: match, except the utm_ family which matches by prefix — a bare
+#: prefix match would wrongly drop e.g. refresh=1 under "ref")
+TRACKING_KEYS = ("fbclid", "gclid", "msclkid", "ref")
+TRACKING_PREFIXES = ("utm_",)
 
 
 def url_host(col: Column) -> Column:
@@ -38,14 +41,19 @@ def _clean_query(col: Column) -> Column:
     """Sorted '&'-joined query with tracking params removed; null when
     nothing survives."""
     q = F.try_parse_url(col, F.lit("QUERY"))
-    parts = F.filter(
-        F.split(q, "&"),
-        lambda p: (p != "")
-        & ~F.exists(
-            F.array(*[F.lit(t) for t in TRACKING_PARAMS]),
-            lambda t: p.startswith(t),
-        ),
-    )
+
+    def is_tracking(p: Column) -> Column:
+        key = F.substring_index(p, "=", 1)
+        exact = F.array_contains(
+            F.array(*[F.lit(k) for k in TRACKING_KEYS]), key
+        )
+        pref = F.exists(
+            F.array(*[F.lit(t) for t in TRACKING_PREFIXES]),
+            lambda t: key.startswith(t),
+        )
+        return exact | pref
+
+    parts = F.filter(F.split(q, "&"), lambda p: (p != "") & ~is_tracking(p))
     joined = F.array_join(F.array_sort(parts), "&")
     return F.when(joined != "", joined)
 

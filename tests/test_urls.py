@@ -43,6 +43,11 @@ def test_tracking_params_dropped_and_query_sorted(spark):
     assert canon(spark, "https://a.com/p?b=2&a=1") == "https://a.com/p?a=1&b=2"
     # all params tracking → no query at all
     assert canon(spark, "https://a.com/p?utm_campaign=z&gclid=1") == "https://a.com/p"
+    # key match is exact: refresh is NOT the tracking key "ref"
+    assert (
+        canon(spark, "https://a.com/p?refresh=1&ref=tw")
+        == "https://a.com/p?refresh=1"
+    )
 
 
 def test_non_url_yields_null(spark):
