@@ -30,3 +30,27 @@ def stream_exact_dedup(
         .dropDuplicatesWithinWatermark(["_content_hash"])
         .drop("_content_hash")
     )
+
+
+def stream_url_dedup(
+    stream_df: DataFrame,
+    ts_col: str,
+    url_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """First occurrence per canonical URL within the watermark — the
+    streaming companion of ``urls.canonical_duplicate_groups`` for
+    crawl-ingest: trivially-different variants of the same page (case,
+    default port, fragment, tracking params, query order) arriving
+    inside the window collapse onto one canonical key, so state holds
+    one entry per canonical url per window.  URLs that fail to parse
+    dedupe on their raw string (``coalesce``), never on a shared null."""
+    from ..operators.urls import canonicalize_url
+
+    keyed = stream_df.withColumn(
+        "canonical_url",
+        F.coalesce(canonicalize_url(F.col(url_col)), F.col(url_col)),
+    )
+    return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["canonical_url"]
+    )
