@@ -140,7 +140,19 @@ class ValidationEngine:
             cid = f"#/x-table-checks/{chk.get('id', kind)}"
             if kind == "unique":
                 keys = chk["keys"]
-                v = uniqueness_violations(df, keys, cid)
+                src = df
+                if chk.get("canonicalize_urls"):
+                    # uniqueness on the CANONICAL url (operators/urls.py):
+                    # trivially-different crawl variants count as dups
+                    from .operators.urls import canonicalize_url
+
+                    src = df.withColumns(
+                        {
+                            k: F.coalesce(canonicalize_url(F.col(k)), F.col(k))
+                            for k in keys
+                        }
+                    )
+                v = uniqueness_violations(src, keys, cid)
                 # project to the standard shape: id cols unavailable for an
                 # aggregated dup row → carry key repr in observed_value
                 tv_parts.append(

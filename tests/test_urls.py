@@ -74,3 +74,62 @@ def test_host_bucket_deterministic(spark):
     )
     got = df.select(host_bucket(F.col("url")).alias("b")).distinct().collect()
     assert len(got) == 1  # same host (case-insensitive) → same bucket
+
+
+def test_canonicalization_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u) over a generated variant
+    grid (schemes × hosts × ports × paths × queries × fragments)."""
+    rows = []
+    i = 0
+    for scheme in ("https", "HTTPS", "http"):
+        for host in ("A.com", "b.example.org"):
+            for port in ("", ":443", ":8080"):
+                for path in ("", "/x", "/x/y"):
+                    for q in ("", "?b=2&a=1", "?utm_source=t&z=9"):
+                        for frag in ("", "#sec"):
+                            rows.append((i, f"{scheme}://{host}{port}{path}{q}{frag}"))
+                            i += 1
+    df = spark.createDataFrame(rows, "id long, url string")
+    once = df.select("id", canonicalize_url(F.col("url")).alias("c1"))
+    twice = once.select(
+        "id", "c1", canonicalize_url(F.col("c1")).alias("c2")
+    )
+    bad = twice.filter(
+        F.col("c1").isNotNull() & (F.col("c1") != F.col("c2"))
+    ).collect()
+    assert not bad, bad[:5]
+    assert twice.filter(F.col("c1").isNotNull()).count() == len(rows)
+
+
+def test_engine_unique_check_on_canonical_url(spark):
+    from snowy_json_spark.engine import ValidationEngine
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://A.com/p?b=2&a=1"),
+            (2, "https://a.com:443/p?a=1&b=2&utm_source=x"),
+            (3, "https://a.com/q"),
+        ],
+        "id long, url string",
+    )
+    eng = ValidationEngine(
+        {
+            "properties": {},
+            "x-table-checks": [
+                {"id": "canon_unique", "kind": "unique", "keys": ["url"],
+                 "canonicalize_urls": True}
+            ],
+        },
+        id_cols=["id"],
+    )
+    res = eng.run(df)
+    tv = res.table_violations.collect()
+    assert len(tv) == 1  # the two variants collide on the canonical key
+    assert "canon_unique" in tv[0]["constraint_id"]
+    # raw-string uniqueness would have found nothing
+    eng2 = ValidationEngine(
+        {"properties": {},
+         "x-table-checks": [{"id": "raw", "kind": "unique", "keys": ["url"]}]},
+        id_cols=["id"],
+    )
+    assert eng2.run(df).table_violations.count() == 0
