@@ -909,6 +909,22 @@ def _q_payload_meta_documents(spark, sf_dir):
     )
 
 
+def _q_dedup_clusters_documents(spark, sf_dir):
+    """Near-dup CLUSTERS, not just pairs (dedup.near_dup_clusters:
+    exact word-Jaccard pairs → iterative min-label connected
+    components): (doc_id, cluster=min member id) for every document in
+    some J≥0.8 cluster on doc_id<100.  The DuckDB oracle computes the
+    same components with a recursive CTE over the same pair graph — a
+    graph algorithm checked against SQL recursion, red if label
+    propagation under- or over-merges or fails to converge."""
+    from snowy_json_spark.operators.dedup import near_dup_clusters
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    return near_dup_clusters(
+        docs, "doc_id", "text", min_jaccard=0.8, shingle_k=1, mode="word"
+    ).orderBy("doc_id")
+
+
 def _q_url_canonical_documents(spark, sf_dir):
     """URL canonicalization end-to-end (operators/urls.py): three
     planted variants of every logical URL — uppercase host + explicit
@@ -1082,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta_documents": _q_media_meta_documents,
         "gopher_quality_documents": _q_gopher_quality_documents,
         "url_canonical_documents": _q_url_canonical_documents,
+        "dedup_clusters_documents": _q_dedup_clusters_documents,
         "ivf_exhaustive_topk": _q_ivf_exhaustive_topk,
         "lsh_exhaustive_topk": _q_lsh_exhaustive_topk,
         # rows-only (LSH / pandas-UDF paths; no SQL equivalent)
@@ -1205,6 +1222,34 @@ def oracle_sql() -> dict[str, str]:
         "detected_lang_documents": _lang_id_sql(),
         "payload_meta_documents": _payload_meta_sql(),
         "media_meta_documents": _media_meta_sql(),
+        # connected components via recursive CTE over the identical
+        # exact-Jaccard pair graph; cluster id = min reachable member
+        "dedup_clusters_documents": f"""
+            WITH RECURSIVE
+            sh AS (
+              SELECT DISTINCT doc_id, w AS shingle
+              FROM documents, UNNEST({_WORDS}) AS t(w)
+              WHERE doc_id < 100),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.8),
+            edges AS (
+              SELECT id_a AS s, id_b AS d FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+            reach AS (
+              SELECT s AS node, s AS label FROM edges
+              UNION
+              SELECT e.s, r.label FROM edges e JOIN reach r ON r.node = e.d)
+            SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster
+            FROM reach GROUP BY node ORDER BY doc_id
+        """,
         # ground truth from the planted-variant construction: canonical
         # identity ≡ doc_id mod 350 (50 hosts × 7 paths) — no URL logic
         # on the oracle side, so the two sides cannot share a bug

@@ -609,3 +609,87 @@ def simhash_near_duplicates(
         "id_b",
         hamming64(F.col("sig_a"), F.col("sig_b")).alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# near-dup clusters: candidate pairs → connected components → keep-one
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, cluster) labels for the pair graph: iterative min-label
+    propagation (the GraphFrames/large-star idiom in plain DataFrames).
+
+    Each iteration is ONE shuffle join (labels by neighbor) + one
+    min-aggregation; convergence needs O(graph diameter) iterations —
+    near-dup clusters are shallow (variants of one document), so 3-5
+    rounds typical.  ``localCheckpoint`` truncates lineage per round so
+    the plan doesn't grow with iterations.  The cluster id is the
+    minimum member id — deterministic, independent of partitioning."""
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("cluster"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = sym.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "cluster")
+        new = (
+            labels.union(nbr)
+            .groupBy("node")
+            .agg(F.min("cluster").alias("cluster"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("cluster", "old"), "node")
+            .filter(F.col("cluster") != F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_jaccard: float = 0.8,
+    shingle_k: int = 1,
+    mode: str = "word",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, cluster) for every document in some near-dup cluster:
+    exact-Jaccard pairs → connected components.  Documents with no
+    near-dup partner are absent (they keep themselves trivially).
+    Candidate-verification scale only (jaccard_pairs is the exact
+    verifier); at corpus scale feed ``minhash_near_duplicates`` output
+    into :func:`connected_components` instead."""
+    pairs = jaccard_pairs(
+        df, id_col, text_col, shingle_k=shingle_k, mode=mode, min_jaccard=min_jaccard
+    )
+    return connected_components(pairs, max_iter=max_iter).select(
+        F.col("node").alias(id_col), "cluster"
+    )
+
+
+def dedup_representatives(labels: DataFrame) -> DataFrame:
+    """One row per cluster: the representative (minimum id) to KEEP;
+    every other member is a droppable duplicate."""
+    return labels.groupBy("cluster").agg(
+        F.min("node").alias("keep_id"), F.count(F.lit(1)).alias("n_members")
+    )

@@ -226,3 +226,41 @@ def test_cosine_bucket_cap_drops_hot_buckets(spark):
     }
     assert capped <= uncapped
     assert len(capped) < len(uncapped)  # the 30-row hot bucket was pruned
+
+
+def test_connected_components_merges_chains(spark):
+    from snowy_json_spark.operators.dedup import (
+        connected_components,
+        dedup_representatives,
+    )
+
+    # two components: a 5-node path (worst case for label propagation —
+    # needs several rounds) and a triangle; plus ids far apart
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12)],
+        "id_a long, id_b long",
+    )
+    labels = {r["node"]: r["cluster"] for r in connected_components(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10}
+    reps = {
+        r["cluster"]: (r["keep_id"], r["n_members"])
+        for r in dedup_representatives(connected_components(pairs)).collect()
+    }
+    assert reps == {1: (1, 5), 10: (10, 3)}
+
+
+def test_near_dup_clusters_planted(spark):
+    from snowy_json_spark.operators.dedup import near_dup_clusters
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma delta epsilon zeta"),   # dup of 0
+        (2, "alpha beta gamma delta epsilon eta"),    # near-dup of 0/1 (J=5/7)
+        (3, "totally different words entirely here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["cluster"]
+        for r in near_dup_clusters(df, "doc_id", "text", min_jaccard=0.7).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0}  # 3 has no partner → absent
