@@ -64,3 +64,75 @@ def running_violation_stats(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+TDIGEST_OUTPUT_SCHEMA = (
+    "key string, n long, lo double, hi double, p50 double, p99 double"
+)
+TDIGEST_STATE_SCHEMA = (
+    "means array<double>, weights array<double>, n long, lo double, hi double"
+)
+
+
+def running_tdigest(
+    stream_df: DataFrame,
+    value_col: str,
+    key_col: str,
+    delta: float = 200.0,
+) -> DataFrame:
+    """Per-key running t-digest over the whole stream lifetime:
+    emits (key, n, lo, hi, p50, p99) after every batch.
+
+    The windowless analog of percentile monitoring: state per key is
+    the digest itself (≤ ~2δ centroids, a few KB) — never the values —
+    so a key that has seen 10^9 rows costs the same state as one that
+    has seen 10^3.  Batch values are compressed INTO the existing
+    centroids with the same numpy merge as the batch sketch
+    (operators/tdigest.py), so stream and batch digests agree."""
+    import numpy as np
+
+    from ..operators.tdigest import TDigest, _compress
+
+    src = stream_df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            means, weights, n, lo, hi = state.get
+            m = np.asarray(means, dtype="float64")
+            w = np.asarray(weights, dtype="float64")
+        else:
+            m = w = np.empty(0, dtype="float64")
+            n, lo, hi = 0, None, None
+        for pdf in pdfs:
+            v = pdf["_v"].to_numpy(dtype="float64", na_value=np.nan)
+            v = v[~np.isnan(v)]
+            if v.size == 0:
+                continue
+            m = np.concatenate([m, v])
+            w = np.concatenate([w, np.ones_like(v)])
+            m, w = _compress(m, w, delta)
+            n += int(v.size)
+            lo = float(v.min()) if lo is None else min(lo, float(v.min()))
+            hi = float(v.max()) if hi is None else max(hi, float(v.max()))
+        if n == 0:
+            return
+        state.update((list(map(float, m)), list(map(float, w)), n, lo, hi))
+        d = TDigest(m, w, n, lo, hi)
+        p50, p99 = (float(x) for x in d.quantile([0.5, 0.99]))
+        yield pd.DataFrame(
+            {"key": [key[0]], "n": [n], "lo": [lo], "hi": [hi],
+             "p50": [p50], "p99": [p99]}
+        )
+
+    return src.groupBy("key").applyInPandasWithState(
+        update,
+        TDIGEST_OUTPUT_SCHEMA,
+        TDIGEST_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

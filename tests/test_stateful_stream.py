@@ -55,3 +55,47 @@ def test_running_violation_stats(spark):
     # planted violation rate ≈ 1/5 (value%5==0), both parities affected
     for k, (total, failed) in snap2.items():
         assert 0.05 < failed / total < 0.4, (k, total, failed)
+
+
+def test_running_tdigest_stream(spark):
+    from snowy_json_spark.streaming.stateful import running_tdigest
+
+    # two keys; values uniform 0..999 via value%1000 → p50≈500, p99≈990
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 500)
+        .load()
+        .select(
+            F.when(F.col("value") % 2 == 0, F.lit("a")).otherwise(F.lit("b")).alias("k"),
+            (F.col("value") % 1000).cast("double").alias("x"),
+        )
+    )
+    digests = running_tdigest(stream, "x", "k")
+    q = (
+        digests.writeStream.format("memory")
+        .queryName("tdigest_stream")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 60
+        latest = {}
+        while time.monotonic() < deadline:
+            q.processAllAvailable()
+            # memory sink in update mode appends updated rows; take the
+            # last (largest-n) row per key = the running digest
+            for r in spark.sql(
+                "SELECT * FROM tdigest_stream ORDER BY n"
+            ).collect():
+                latest[r["key"]] = r
+            if all(latest.get(k) and latest[k]["n"] >= 2000 for k in ("a", "b")):
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert set(latest) == {"a", "b"}
+    for r in latest.values():
+        assert r["n"] >= 2000  # state accumulated across batches
+        assert r["lo"] >= 0.0 and r["hi"] <= 999.0
+        assert 350 <= r["p50"] <= 650  # uniform 0..999 → p50 near 500
+        assert r["p99"] >= 900
