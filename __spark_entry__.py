@@ -909,6 +909,25 @@ def _q_payload_meta_documents(spark, sf_dir):
     )
 
 
+def _q_knn_join_embeddings(spark, sf_dir):
+    """Batch k-NN join in exhaustive configuration (similarity.knn_join
+    with n_planes=1: the 2-bucket Hamming-1 ring covers the whole
+    space, so the LSH join must equal exact k-NN): top-5 neighbors of
+    every vec_id<60, checked against a DuckDB cross-join + window-rank
+    oracle.  The pruned (n_planes≫1) configuration is covered by the
+    recall test in test_similarity_text_multimodal.py."""
+    from snowy_json_spark.operators.similarity import knn_join
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 60
+    )
+    return (
+        knn_join(emb, "vec_id", "embedding", k=5, n_planes=1)
+        .select("src_id", "nbr_id", F.col("rnk").cast("long").alias("rnk"))
+        .orderBy("src_id", "rnk")
+    )
+
+
 def _q_dedup_clusters_documents(spark, sf_dir):
     """Near-dup CLUSTERS, not just pairs (dedup.near_dup_clusters:
     exact word-Jaccard pairs → iterative min-label connected
@@ -1099,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_documents": _q_gopher_quality_documents,
         "url_canonical_documents": _q_url_canonical_documents,
         "dedup_clusters_documents": _q_dedup_clusters_documents,
+        "knn_join_embeddings": _q_knn_join_embeddings,
         "ivf_exhaustive_topk": _q_ivf_exhaustive_topk,
         "lsh_exhaustive_topk": _q_lsh_exhaustive_topk,
         # rows-only (LSH / pandas-UDF paths; no SQL equivalent)
@@ -1222,6 +1242,22 @@ def oracle_sql() -> dict[str, str]:
         "detected_lang_documents": _lang_id_sql(),
         "payload_meta_documents": _payload_meta_sql(),
         "media_meta_documents": _media_meta_sql(),
+        # exhaustive-config knn_join == exact k-NN (cross join + rank)
+        "knn_join_embeddings": """
+            WITH c AS (
+              SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+                     list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])) AS cos
+              FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+              WHERE a.vec_id < 60 AND b.vec_id < 60),
+            r AS (
+              SELECT src_id, nbr_id,
+                     ROW_NUMBER() OVER (PARTITION BY src_id
+                                        ORDER BY cos DESC, nbr_id) AS rnk
+              FROM c)
+            SELECT src_id, nbr_id, CAST(rnk AS BIGINT) AS rnk
+            FROM r WHERE rnk <= 5 ORDER BY src_id, rnk
+        """,
         # connected components via recursive CTE over the identical
         # exact-Jaccard pair graph; cluster id = min reachable member
         "dedup_clusters_documents": f"""

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -346,3 +346,66 @@ def cosine_near_duplicates(
             F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")
         ).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# batch k-NN join: top-k neighbors for EVERY row (multi-probe LSH)
+# ---------------------------------------------------------------------------
+
+
+def knn_join(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    dim: int | None = None,
+    n_planes: int = 12,
+    n_probes: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """(src_id, nbr_id, cosine, rnk≤k) for every row — the all-rows ANN
+    workload (similarity graph construction, embedding near-dup
+    scoring), not the single-query path of :func:`lsh_topk`.
+
+    Each row probes its home bucket plus single-bit flips (Hamming-1
+    ring; ``n_probes`` buckets total, default all n_planes+1); probe
+    rows join candidate rows on the bucket key, exact cosine scores the
+    survivors, and a per-src window keeps the top k.  Shuffle profile:
+    candidates ∝ rows × avg_bucket_size × n_probes (bucketed, never the
+    all-pairs square), then ONE hash-partition by src for the window.
+    With n_planes=1 the two probes cover the whole bucket space, making
+    the join exhaustive — exact k-NN, used by the driver oracle; at
+    scale raise n_planes so avg_bucket_size = rows / 2^n_planes keeps
+    the candidate count linear-ish."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    if n_probes is None:
+        n_probes = n_planes + 1
+    b = with_lsh_bucket(df, vec_col, dim, n_planes, seed)
+    home = F.col("lsh_bucket")
+    ring = F.array(home, *[home.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)])
+    probes = F.slice(ring, 1, n_probes)
+    src = b.select(
+        F.col(id_col).alias("src_id"),
+        F.col(vec_col).alias("_sv"),
+        F.explode(probes).alias("lsh_bucket"),
+    )
+    cand = b.select(
+        F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("_nv"), "lsh_bucket"
+    )
+    scored = (
+        src.join(cand, "lsh_bucket")
+        .filter(F.col("src_id") != F.col("nbr_id"))
+        .select(
+            "src_id",
+            "nbr_id",
+            cosine(
+                F.col("_sv").cast("array<double>"), F.col("_nv").cast("array<double>")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(F.col("cosine").desc(), F.col("nbr_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

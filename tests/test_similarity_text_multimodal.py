@@ -250,3 +250,24 @@ def test_gopher_flags_rules(spark):
     assert not got[6]["stopwords_ok"]
     kept = gopher_filter(df, "text", min_words=20).count()
     assert kept == 1
+
+
+def test_knn_join_pruned_recall(spark, embeddings):
+    """Pruned knn_join vs exact: the LSH probes must recover true
+    neighbors far above the probed-fraction baseline (synthetic
+    near-gaussian vectors are the adversarial case for hyperplane LSH —
+    real clustered embeddings recall much higher), and emitted ranks
+    never exceed k."""
+    from snowy_json_spark.operators.similarity import knn_join
+
+    n_planes = 6
+    probed_fraction = (n_planes + 1) / 2**n_planes  # 7/64 of buckets
+    exact = knn_join(embeddings, "vec_id", "embedding", k=3, n_planes=1)
+    pruned = knn_join(embeddings, "vec_id", "embedding", k=3, n_planes=n_planes)
+    t = {(r["src_id"], r["nbr_id"]) for r in exact.collect()}
+    p = {(r["src_id"], r["nbr_id"]) for r in pruned.collect()}
+    assert pruned.filter(F.col("rnk") > 3).count() == 0
+    recall = len(t & p) / len(t)
+    # random probing would land true neighbors at ~probed_fraction;
+    # the sign-signature must do at least 2x better even here
+    assert recall >= 2 * probed_fraction, (recall, probed_fraction)
