@@ -909,6 +909,37 @@ def _q_payload_meta_documents(spark, sf_dir):
     )
 
 
+def _q_curation_documents(spark, sf_dir):
+    """End-to-end curation pipeline (operators/pipeline.py:
+    gopher quality filter → near-dup connected components → keep-one):
+    per-source document counts by outcome.  The oracle composes the
+    gopher-rule SQL with the recursive-CTE component computation over
+    quality survivors — the same two-stage order (quality first, dedup
+    among survivors), so any attribution drift between the stages
+    shows up."""
+    from snowy_json_spark.operators.pipeline import curate_documents
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    cur = curate_documents(
+        docs, "doc_id", "text", min_jaccard=0.8,
+        min_words=40, min_mean_word_len=4.0,
+    )
+    return (
+        cur.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum((F.col("drop_reason") == "quality").cast("long")).alias(
+                "n_drop_quality"
+            ),
+            F.sum((F.col("drop_reason") == "near_dup").cast("long")).alias(
+                "n_drop_dup"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 def _q_knn_join_embeddings(spark, sf_dir):
     """Batch k-NN join in exhaustive configuration (similarity.knn_join
     with n_planes=1: the 2-bucket Hamming-1 ring covers the whole
@@ -1119,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_documents": _q_url_canonical_documents,
         "dedup_clusters_documents": _q_dedup_clusters_documents,
         "knn_join_embeddings": _q_knn_join_embeddings,
+        "curation_documents": _q_curation_documents,
         "ivf_exhaustive_topk": _q_ivf_exhaustive_topk,
         "lsh_exhaustive_topk": _q_lsh_exhaustive_topk,
         # rows-only (LSH / pandas-UDF paths; no SQL equivalent)
@@ -1242,6 +1274,63 @@ def oracle_sql() -> dict[str, str]:
         "detected_lang_documents": _lang_id_sql(),
         "payload_meta_documents": _payload_meta_sql(),
         "media_meta_documents": _media_meta_sql(),
+        # two-stage curation: gopher SQL → recursive-CTE components over
+        # quality SURVIVORS only → drop non-representatives
+        "curation_documents": f"""
+            WITH RECURSIVE
+            d AS (SELECT * FROM documents WHERE doc_id < 100),
+            g AS (
+              SELECT doc_id, source,
+                     len({_WORDS}) AS n,
+                     list_sum(list_transform({_WORDS}, w -> length(w))) * 1.0
+                       / NULLIF(len({_WORDS}), 0) AS mean_len,
+                     len(list_filter({_WORDS}, w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
+                     len(list_filter({_WORDS}, w -> contains(w, '...'))) AS n_ell,
+                     len(list_filter({_WORDS}, w -> list_contains(
+                       ['the','be','to','of','and','that','have','with'], w))) AS n_stop
+              FROM d),
+            f AS (
+              SELECT doc_id, source,
+                     ((n >= 40 AND n <= 100000)
+                      AND (mean_len >= 4.0 AND mean_len <= 10.0)
+                      AND (n > 0 AND n_alpha * 1.0 / n >= 0.8)
+                      AND (n = 0 OR n_ell * 1.0 / n <= 0.1)
+                      AND (n_stop >= 2)) AS q_ok
+              FROM g),
+            sh AS (
+              SELECT DISTINCT d.doc_id, w AS shingle
+              FROM d JOIN f USING (doc_id), UNNEST({_WORDS}) AS t(w)
+              WHERE f.q_ok),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.8),
+            edges AS (
+              SELECT id_a AS s, id_b AS d FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+            reach AS (
+              SELECT s AS node, s AS label FROM edges
+              UNION
+              SELECT e.s, r.label FROM edges e JOIN reach r ON r.node = e.d),
+            dropped AS (
+              SELECT node AS doc_id FROM reach
+              GROUP BY node HAVING node <> MIN(label))
+            SELECT f.source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN f.q_ok AND dropped.doc_id IS NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   CAST(SUM(CASE WHEN NOT f.q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_quality,
+                   CAST(SUM(CASE WHEN f.q_ok AND dropped.doc_id IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_dup
+            FROM f LEFT JOIN dropped USING (doc_id)
+            GROUP BY f.source ORDER BY f.source
+        """,
         # exhaustive-config knn_join == exact k-NN (cross join + rank)
         "knn_join_embeddings": """
             WITH c AS (

@@ -1,0 +1,69 @@
+"""End-to-end training-data curation: quality filter → near-dup
+keep-one, in one call.
+
+The standard curation order (public pipelines — Gopher, Dolma, CCNet):
+drop low-quality documents FIRST (cheap, pure Column), then
+deduplicate among the survivors (expensive, pairwise) so dedup never
+pays for documents that were leaving anyway.  Each stage is an
+already-tested operator (`text.gopher_flags`,
+`dedup.near_dup_clusters`, `dedup.dedup_representatives`); this module
+is the composition plus per-document drop attribution.
+
+Scale: the quality stage is whole-stage codegen over one scan; the
+dedup stage's joins are bounded by the candidate machinery it reuses;
+attribution joins are on the id column (broadcastable when the dropped
+set is small, which it is by construction — it holds only cluster
+non-representatives).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import dedup_representatives, near_dup_clusters
+from .text import gopher_flags
+
+
+def curate_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_jaccard: float = 0.8,
+    dedup_mode: str = "word",
+    shingle_k: int = 1,
+    **gopher_bounds,
+) -> DataFrame:
+    """Input columns + ``keep`` boolean + ``drop_reason``
+    (null | 'quality' | 'near_dup').
+
+    A near-dup cluster keeps exactly its minimum-id member; every other
+    member is dropped with reason 'near_dup'.  Documents failing any
+    Gopher rule drop with reason 'quality' and never enter dedup."""
+    quality_ok = gopher_flags(F.col(text_col), **gopher_bounds)["keep"]
+    flagged = df.withColumn("_q_ok", quality_ok)
+    survivors = flagged.filter(F.col("_q_ok"))
+    clusters = near_dup_clusters(
+        survivors,
+        id_col,
+        text_col,
+        min_jaccard=min_jaccard,
+        shingle_k=shingle_k,
+        mode=dedup_mode,
+    )
+    reps = dedup_representatives(
+        clusters.select(F.col(id_col).alias("node"), "cluster")
+    )
+    dropped_dups = (
+        clusters.join(reps, "cluster")
+        .filter(F.col(id_col) != F.col("keep_id"))
+        .select(F.col(id_col), F.lit(True).alias("_is_dup"))
+    )
+    out = flagged.join(dropped_dups, id_col, "left")
+    return out.select(
+        *df.columns,
+        (F.col("_q_ok") & F.col("_is_dup").isNull()).alias("keep"),
+        F.when(~F.col("_q_ok"), F.lit("quality"))
+        .when(F.col("_is_dup"), F.lit("near_dup"))
+        .alias("drop_reason"),
+    )

@@ -1,0 +1,42 @@
+"""curate_documents: quality → dedup attribution end-to-end."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from snowy_json_spark.operators.pipeline import curate_documents
+
+GOOD = "the quick brown fox jumps over the lazy dog and then runs far away home " * 3
+
+
+def test_attribution(spark):
+    rows = [
+        (0, GOOD),                    # kept (cluster representative)
+        (1, GOOD),                    # exact dup of 0 → near_dup
+        (2, GOOD + " extra tail"),  # near-dup of 0 (J=14/16) → near_dup
+        (3, "too short"),             # quality
+        (4, "uno dos tres quatro cinco seis " * 10),  # no stopwords → quality
+        (5, "the unique and special words of this have other text " * 4),  # kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cur = curate_documents(df, "doc_id", "text", min_jaccard=0.8, min_words=20)
+    got = {r["doc_id"]: (r["keep"], r["drop_reason"]) for r in cur.collect()}
+    assert got[0] == (True, None)
+    assert got[1] == (False, "near_dup")
+    assert got[2] == (False, "near_dup")
+    assert got[3] == (False, "quality")
+    assert got[4] == (False, "quality")
+    assert got[5] == (True, None)
+    # input columns survive untouched
+    assert set(cur.columns) == {"doc_id", "text", "keep", "drop_reason"}
+
+
+def test_quality_dropped_docs_never_reach_dedup(spark):
+    # a low-quality doc identical to a kept doc must NOT mark the kept
+    # doc's twin as near_dup via itself (quality drops leave dedup)
+    rows = [(0, GOOD), (1, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cur = curate_documents(df, "doc_id", "text", min_words=20)
+    got = {r["doc_id"]: (r["keep"], r["drop_reason"]) for r in cur.collect()}
+    assert got[0] == (True, None)
+    assert got[1] == (False, "quality")
