@@ -909,6 +909,40 @@ def _q_payload_meta_documents(spark, sf_dir):
     )
 
 
+def _q_boilerplate_documents(spark, sf_dir):
+    """CCNet-style boilerplate removal (text.remove_boilerplate_lines):
+    a banner and footer line injected into EVERY document become
+    corpus-frequent and must be stripped, restoring the original text
+    byte-for-byte (unless the original itself is corpus-frequent —
+    both sides apply the same rule).  The oracle mirrors the
+    construction and computes the removal independently in SQL
+    (explode → trim → distinct-doc counts → anti-join → ordered
+    re-join)."""
+    from snowy_json_spark.operators.text import remove_boilerplate_lines
+
+    docs = _docs(spark, sf_dir)
+    injected = docs.select(
+        "doc_id",
+        "source",
+        F.col("text").alias("orig"),
+        F.concat_ws(
+            "\n",
+            F.lit("subscribe to our newsletter"),
+            F.col("text"),
+            F.lit("copyright example corp"),
+        ).alias("text"),
+    )
+    cleaned = remove_boilerplate_lines(injected, "text", min_doc_frequency=3)
+    return (
+        cleaned.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("text") == F.col("orig")).cast("long")).alias("n_restored"),
+        )
+        .orderBy("source")
+    )
+
+
 def _q_curation_documents(spark, sf_dir):
     """End-to-end curation pipeline (operators/pipeline.py:
     gopher quality filter → near-dup connected components → keep-one):
@@ -1151,6 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_documents": _q_dedup_clusters_documents,
         "knn_join_embeddings": _q_knn_join_embeddings,
         "curation_documents": _q_curation_documents,
+        "boilerplate_documents": _q_boilerplate_documents,
         "ivf_exhaustive_topk": _q_ivf_exhaustive_topk,
         "lsh_exhaustive_topk": _q_lsh_exhaustive_topk,
         # rows-only (LSH / pandas-UDF paths; no SQL equivalent)
@@ -1274,6 +1309,40 @@ def oracle_sql() -> dict[str, str]:
         "detected_lang_documents": _lang_id_sql(),
         "payload_meta_documents": _payload_meta_sql(),
         "media_meta_documents": _media_meta_sql(),
+        # independent SQL removal: explode with generate_subscripts,
+        # distinct-doc line counts, anti-join, ordered string_agg
+        "boilerplate_documents": """
+            WITH d AS (
+              SELECT doc_id, source, text,
+                     'subscribe to our newsletter' || chr(10) || text ||
+                     chr(10) || 'copyright example corp' AS text2
+              FROM documents),
+            ln AS (SELECT doc_id, source, text,
+                          string_split(text2, chr(10)) AS lines FROM d),
+            l AS (
+              SELECT doc_id, source, text,
+                     generate_subscripts(lines, 1) AS pos,
+                     lines[generate_subscripts(lines, 1)] AS raw
+              FROM ln),
+            l2 AS (SELECT *, trim(raw) AS line FROM l),
+            freq AS (
+              SELECT line FROM (
+                SELECT line, COUNT(DISTINCT doc_id) AS c FROM l2
+                WHERE length(line) >= 5 GROUP BY line)
+              WHERE c >= 3),
+            kept AS (
+              SELECT doc_id, source, text, pos, raw FROM l2
+              WHERE line NOT IN (SELECT line FROM freq)),
+            rebuilt AS (
+              SELECT doc_id, source, ANY_VALUE(text) AS text,
+                     string_agg(raw, chr(10) ORDER BY pos) AS out
+              FROM kept GROUP BY doc_id, source)
+            SELECT d.source, COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN COALESCE(r.out, '') = d.text
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_restored
+            FROM d LEFT JOIN rebuilt r USING (doc_id)
+            GROUP BY d.source ORDER BY d.source
+        """,
         # two-stage curation: gopher SQL → recursive-CTE components over
         # quality SURVIVORS only → drop non-representatives
         "curation_documents": f"""

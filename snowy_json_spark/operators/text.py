@@ -218,3 +218,81 @@ def gopher_filter(df: DataFrame, text_col: str, **bounds) -> DataFrame:
     """Rows passing every Gopher rule (filter pushes to the scan around
     the codegen'd flag expression; no shuffle)."""
     return df.filter(gopher_flags(F.col(text_col), **bounds)["keep"])
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate line removal (CCNet-style): drop lines that repeat across
+# many documents (nav menus, cookie banners, footers) while keeping
+# each document's unique content in original line order.
+# ---------------------------------------------------------------------------
+
+
+def frequent_lines(
+    df: DataFrame,
+    text_col: str,
+    min_doc_frequency: int,
+    min_line_chars: int = 5,
+) -> DataFrame:
+    """(line, doc_frequency) for normalized lines appearing in ≥
+    ``min_doc_frequency`` DISTINCT documents.  One explode + one
+    partial-agg shuffle keyed on the line hash; lines shorter than
+    ``min_line_chars`` are ignored (single words repeat naturally).
+    Output size ∝ distinct frequent lines — at corpus scale this is the
+    small side of the removal join and broadcastable."""
+    lines = df.select(
+        F.monotonically_increasing_id().alias("_doc"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("_raw"),
+    ).select("_doc", F.trim(F.col("_raw")).alias("line"))
+    return (
+        lines.filter(F.length("line") >= min_line_chars)
+        .groupBy("line")
+        .agg(F.count_distinct("_doc").alias("doc_frequency"))
+        .filter(F.col("doc_frequency") >= min_doc_frequency)
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str,
+    min_doc_frequency: int,
+    out_col: str | None = None,
+    min_line_chars: int = 5,
+) -> DataFrame:
+    """Rewrite ``text_col`` with corpus-frequent lines removed, original
+    order preserved (CCNet-style boilerplate stripping).
+
+    Plan shape: frequent-line set (small by construction) broadcast to
+    an ``array_contains``-free hash join — lines explode per document,
+    anti-join the frequent set, re-assemble with ``array_join`` after a
+    ``sort_array`` on (doc, position).  No Python in the loop."""
+    out_col = out_col or text_col
+    freq = F.broadcast(frequent_lines(df, text_col, min_doc_frequency, min_line_chars))
+    with_id = df.withColumn("_rbid", F.monotonically_increasing_id())
+    lines = with_id.select(
+        "_rbid",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_raw"),
+    ).withColumn("_line", F.trim(F.col("_raw")))
+    kept = lines.join(freq, lines["_line"] == freq["line"], "left_anti")
+    rebuilt = kept.groupBy("_rbid").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_pos", "_raw"))),
+                lambda s: s["_raw"],
+            ),
+            "\n",
+        ).alias("_rebuilt")
+    )
+    joined = with_id.join(rebuilt, "_rbid", "left")
+    return joined.select(
+        *[
+            F.coalesce(F.col("_rebuilt"), F.lit("")).alias(c)
+            if c == out_col and c in df.columns
+            else F.col(c)
+            for c in df.columns
+        ],
+        *(
+            [F.coalesce(F.col("_rebuilt"), F.lit("")).alias(out_col)]
+            if out_col not in df.columns
+            else []
+        ),
+    )

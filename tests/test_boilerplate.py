@@ -1,0 +1,57 @@
+"""CCNet-style boilerplate line removal."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from snowy_json_spark.operators.text import frequent_lines, remove_boilerplate_lines
+
+BANNER = "subscribe to our newsletter"
+FOOTER = "copyright example corp"
+
+
+def _df(spark):
+    rows = [
+        (0, f"{BANNER}\nunique zero content\n{FOOTER}"),
+        (1, f"{BANNER}\nunique one content\n{FOOTER}"),
+        (2, f"{BANNER}\nunique two content here\n{FOOTER}"),
+        (3, "entirely unique document\nwith two lines"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_frequent_lines(spark):
+    freq = {
+        r["line"]: r["doc_frequency"]
+        for r in frequent_lines(_df(spark), "text", min_doc_frequency=3).collect()
+    }
+    assert freq == {BANNER: 3, FOOTER: 3}
+
+
+def test_remove_boilerplate_preserves_order(spark):
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_boilerplate_lines(
+            _df(spark), "text", min_doc_frequency=3
+        ).collect()
+    }
+    assert out[0] == "unique zero content"
+    assert out[1] == "unique one content"
+    assert out[2] == "unique two content here"
+    assert out[3] == "entirely unique document\nwith two lines"
+
+
+def test_remove_boilerplate_to_new_column(spark):
+    df = remove_boilerplate_lines(
+        _df(spark), "text", min_doc_frequency=3, out_col="clean_text"
+    )
+    assert set(df.columns) == {"doc_id", "text", "clean_text"}
+    row = df.filter(F.col("doc_id") == 0).first()
+    assert BANNER in row["text"] and BANNER not in row["clean_text"]
+
+
+def test_all_lines_removed_yields_empty(spark):
+    rows = [(i, BANNER) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = remove_boilerplate_lines(df, "text", min_doc_frequency=3).collect()
+    assert all(r["text"] == "" for r in out)
