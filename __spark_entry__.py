@@ -909,6 +909,34 @@ def _q_payload_meta_documents(spark, sf_dir):
     )
 
 
+def _q_quantized_embeddings(spark, sf_dir):
+    """int8 symmetric quantization (similarity.quantize_embedding):
+    per-label code checksums (sum / abs-sum of all int8 codes + scale
+    sum) vs DuckDB computing the identical scale/round arithmetic —
+    red if the scale, rounding, or tinyint cast drifts."""
+    from snowy_json_spark.operators.similarity import quantize_embedding
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qz = quantize_embedding(F.col("embedding"))
+    code_sum = F.aggregate(
+        F.col("qz.q"), F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+    )
+    abs_sum = F.aggregate(
+        F.col("qz.q"), F.lit(0).cast("long"), lambda a, x: a + F.abs(x.cast("long"))
+    )
+    return (
+        emb.select("label", qz.alias("qz"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(code_sum).alias("sum_codes"),
+            F.sum(abs_sum).alias("sum_abs_codes"),
+            F.round(F.sum(F.col("qz.scale")), 6).alias("sum_scale"),
+        )
+        .orderBy("label")
+    )
+
+
 def _q_boilerplate_documents(spark, sf_dir):
     """CCNet-style boilerplate removal (text.remove_boilerplate_lines):
     a banner and footer line injected into EVERY document become
@@ -1186,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_embeddings": _q_knn_join_embeddings,
         "curation_documents": _q_curation_documents,
         "boilerplate_documents": _q_boilerplate_documents,
+        "quantized_embeddings": _q_quantized_embeddings,
         "ivf_exhaustive_topk": _q_ivf_exhaustive_topk,
         "lsh_exhaustive_topk": _q_lsh_exhaustive_topk,
         # rows-only (LSH / pandas-UDF paths; no SQL equivalent)
@@ -1309,6 +1338,26 @@ def oracle_sql() -> dict[str, str]:
         "detected_lang_documents": _lang_id_sql(),
         "payload_meta_documents": _payload_meta_sql(),
         "media_meta_documents": _media_meta_sql(),
+        # identical scale = max|v|/127 and round(v/scale) arithmetic
+        "quantized_embeddings": """
+            WITH q AS (
+              SELECT label,
+                     CAST(embedding AS DOUBLE[]) AS v,
+                     list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                             x -> abs(x))) / 127.0 AS scale
+              FROM embeddings),
+            c AS (
+              SELECT label, scale,
+                     CASE WHEN scale > 0
+                          THEN list_transform(v, x -> CAST(round(x / scale) AS BIGINT))
+                          ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS codes
+              FROM q)
+            SELECT label, COUNT(*) AS n_vecs,
+                   CAST(SUM(list_sum(codes)) AS BIGINT) AS sum_codes,
+                   CAST(SUM(list_sum(list_transform(codes, x -> abs(x)))) AS BIGINT) AS sum_abs_codes,
+                   ROUND(SUM(scale), 6) AS sum_scale
+            FROM c GROUP BY label ORDER BY label
+        """,
         # independent SQL removal: explode with generate_subscripts,
         # distinct-doc line counts, anti-join, ordered string_agg
         "boilerplate_documents": """

@@ -409,3 +409,35 @@ def knn_join(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization (storage path for trillion-row tables)
+# ---------------------------------------------------------------------------
+
+
+def quantize_embedding(vec: Column) -> Column:
+    """struct(scale double, q array<tinyint>): symmetric per-vector int8
+    quantization, q = round(v / scale) with scale = max|v| / 127.
+
+    4× smaller than float32 on disk/shuffle (8× vs float64) — the
+    standard storage format for web-scale embedding tables; cosine on
+    dequantized vectors is within ~1e-2 of exact for unit-norm inputs.
+    Pure Column arithmetic (array_max/transform/round), deterministic
+    and oracle-checkable.  All-zero vectors quantize to scale 0 and
+    zero codes; dequantize restores exact zeros."""
+    v = vec.cast("array<double>")
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    q = F.when(
+        scale > 0,
+        F.transform(v, lambda x: F.round(x / scale).cast("tinyint")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
+    return F.struct(scale.alias("scale"), q.alias("q"))
+
+
+def dequantize_embedding(quant: Column) -> Column:
+    """array<double>: q * scale — the lossy inverse of
+    :func:`quantize_embedding`."""
+    return F.transform(
+        quant["q"], lambda x: x.cast("double") * quant["scale"]
+    )

@@ -271,3 +271,41 @@ def test_knn_join_pruned_recall(spark, embeddings):
     # random probing would land true neighbors at ~probed_fraction;
     # the sign-signature must do at least 2x better even here
     assert recall >= 2 * probed_fraction, (recall, probed_fraction)
+
+
+def test_int8_quantization_roundtrip(spark, embeddings):
+    from snowy_json_spark.operators.similarity import (
+        cosine,
+        dequantize_embedding,
+        quantize_embedding,
+    )
+
+    q = quantize_embedding(F.col("embedding"))
+    deq = dequantize_embedding(q)
+    rows = (
+        embeddings.limit(50)
+        .select(
+            q["scale"].alias("scale"),
+            F.array_max(F.transform(q["q"], lambda x: F.abs(x))).alias("max_code"),
+            cosine(F.col("embedding").cast("array<double>"), deq).alias("cos"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert r["max_code"] <= 127
+        assert r["cos"] > 0.999  # quantization noise, not distortion
+        assert r["scale"] > 0
+
+
+def test_quantization_zero_vector(spark):
+    from snowy_json_spark.operators.similarity import (
+        dequantize_embedding,
+        quantize_embedding,
+    )
+
+    df = spark.createDataFrame([([0.0, 0.0, 0.0],)], "v array<double>")
+    r = df.select(
+        quantize_embedding(F.col("v")).alias("q")
+    ).select(F.col("q.scale"), dequantize_embedding(F.col("q")).alias("d")).first()
+    assert r["scale"] == 0.0
+    assert r["d"] == [0.0, 0.0, 0.0]
