@@ -909,6 +909,53 @@ def _q_payload_meta_documents(spark, sf_dir):
     )
 
 
+def _q_pii_scrub_documents(spark, sf_dir):
+    """PII scrubbing (text.scrub_pii): an email, an IPv4, and a phone
+    planted into every document must each collapse to its typed
+    placeholder, leaving the rest byte-identical.  The oracle never
+    runs a regex — it builds the expected scrubbed string by the same
+    concatenation with placeholders substituted, so the Spark regexes
+    are checked against analytic ground truth (corpus verified free of
+    accidental matches: no '@' and no digits in any document text)."""
+    from snowy_json_spark.operators.text import pii_counts, scrub_pii
+
+    docs = _docs(spark, sf_dir)
+    planted = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 or +1 555-123-4567"),
+        ).alias("text"),
+        F.concat(
+            F.col("text"), F.lit(" contact [EMAIL] from [IP] or [PHONE]")
+        ).alias("expected"),
+    )
+    c = pii_counts(F.col("text"))
+    return (
+        planted.select(
+            "source",
+            (scrub_pii(F.col("text")) == F.col("expected")).alias("ok"),
+            c["n_email"].alias("ne"),
+            c["n_ip"].alias("ni"),
+            c["n_phone"].alias("np"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("ok").cast("long")).alias("n_scrubbed_exact"),
+            F.sum("ne").alias("n_emails"),
+            F.sum("ni").alias("n_ips"),
+            F.sum("np").alias("n_phones"),
+        )
+        .orderBy("source")
+    )
+
+
 def _q_quantized_embeddings(spark, sf_dir):
     """int8 symmetric quantization (similarity.quantize_embedding):
     per-label code checksums (sum / abs-sum of all int8 codes + scale
@@ -1215,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_documents": _q_curation_documents,
         "boilerplate_documents": _q_boilerplate_documents,
         "quantized_embeddings": _q_quantized_embeddings,
+        "pii_scrub_documents": _q_pii_scrub_documents,
         "ivf_exhaustive_topk": _q_ivf_exhaustive_topk,
         "lsh_exhaustive_topk": _q_lsh_exhaustive_topk,
         # rows-only (LSH / pandas-UDF paths; no SQL equivalent)
@@ -1338,6 +1386,17 @@ def oracle_sql() -> dict[str, str]:
         "detected_lang_documents": _lang_id_sql(),
         "payload_meta_documents": _payload_meta_sql(),
         "media_meta_documents": _media_meta_sql(),
+        # analytic ground truth: every doc gains exactly one email, one
+        # IP, one phone; n_scrubbed_exact must equal n_docs
+        "pii_scrub_documents": """
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   COUNT(*) AS n_scrubbed_exact,
+                   COUNT(*) AS n_emails,
+                   COUNT(*) AS n_ips,
+                   COUNT(*) AS n_phones
+            FROM documents GROUP BY source ORDER BY source
+        """,
         # identical scale = max|v|/127 and round(v/scale) arithmetic
         "quantized_embeddings": """
             WITH q AS (

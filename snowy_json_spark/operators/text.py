@@ -296,3 +296,35 @@ def remove_boilerplate_lines(
             else []
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (pipeline hygiene): emails / IPv4 / phone-like spans →
+# typed placeholders, pure regexp_replace (JVM-side, no UDF).
+# ---------------------------------------------------------------------------
+
+#: conservative, high-precision patterns (pipeline-standard trade:
+#: false negatives over mangling normal text)
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE_RE = r"\+\d{1,3}[ -]?\(?\d{2,4}\)?[ -]?\d{3,4}[ -]?\d{3,4}"
+
+
+def pii_counts(col: Column) -> Column:
+    """struct(n_email, n_ip, n_phone): occurrence counts per PII type."""
+    return F.struct(
+        F.regexp_count(col, F.lit(PII_EMAIL_RE)).alias("n_email"),
+        F.regexp_count(col, F.lit(PII_IPV4_RE)).alias("n_ip"),
+        F.regexp_count(col, F.lit(PII_PHONE_RE)).alias("n_phone"),
+    )
+
+
+def scrub_pii(col: Column) -> Column:
+    """Text with PII spans replaced by typed placeholders.
+
+    Order matters: emails first (their local/domain parts contain
+    dots and digits that the other patterns could nibble), then
+    phones (before bare IP-like digit runs), then IPv4."""
+    out = F.regexp_replace(col, PII_EMAIL_RE, "[EMAIL]")
+    out = F.regexp_replace(out, PII_PHONE_RE, "[PHONE]")
+    return F.regexp_replace(out, PII_IPV4_RE, "[IP]")

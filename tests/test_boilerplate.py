@@ -55,3 +55,30 @@ def test_all_lines_removed_yields_empty(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = remove_boilerplate_lines(df, "text", min_doc_frequency=3).collect()
     assert all(r["text"] == "" for r in out)
+
+
+def test_scrub_pii_and_counts(spark):
+    from snowy_json_spark.operators.text import pii_counts, scrub_pii
+
+    rows = [
+        (0, "contact bob.smith+x@sub.example.co.uk today"),
+        (1, "server at 192.168.0.1 and 10.0.0.255 rebooted"),
+        (2, "call +1 (555) 123-4567 or +44-20-1234-5678 now"),
+        (3, "clean text with no sensitive spans at all"),
+        (4, "version 1.2.3.4 of the parser"),  # IP-shaped → scrubbed (documented trade)
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {
+        r["id"]: (r["s"], r["c"].asDict())
+        for r in df.select(
+            "id", scrub_pii(F.col("t")).alias("s"), pii_counts(F.col("t")).alias("c")
+        ).collect()
+    }
+    assert got[0][0] == "contact [EMAIL] today"
+    assert got[0][1] == {"n_email": 1, "n_ip": 0, "n_phone": 0}
+    assert got[1][0] == "server at [IP] and [IP] rebooted"
+    assert got[1][1]["n_ip"] == 2
+    assert got[2][0] == "call [PHONE] or [PHONE] now"
+    assert got[2][1]["n_phone"] == 2
+    assert got[3][0] == rows[3][1]
+    assert got[4][0] == "version [IP] of the parser"
