@@ -909,6 +909,38 @@ def _q_payload_meta_documents(spark, sf_dir):
     )
 
 
+def _q_repetition_documents(spark, sf_dir):
+    """Gopher repetition filters (text.repetition_flags): doc_id%3==0
+    docs get their text doubled across a newline (dup-line chars >
+    0.2 → fail), %3==1 docs get a 60× repeated bigram appended (top
+    bigram dominates → fail), %3==2 stay clean.  The oracle computes
+    the SAME dup-line and top-bigram char fractions with DuckDB list
+    lambdas over the identical construction — full metric parity, not
+    just count bookkeeping."""
+    from snowy_json_spark.operators.text import repetition_flags
+
+    docs = _docs(spark, sf_dir)
+    m = F.col("doc_id") % 3
+    spam = " ".join(["spam offer"] * 60)
+    text2 = (
+        F.when(m == 0, F.concat(F.col("text"), F.lit("\n"), F.col("text")))
+        .when(m == 1, F.concat(F.col("text"), F.lit(" " + spam)))
+        .otherwise(F.col("text"))
+    )
+    fl = repetition_flags(text2)
+    return (
+        docs.select("source", fl.alias("f"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((~F.col("f.dup_line_ok")).cast("long")).alias("n_fail_dup_line"),
+            F.sum((~F.col("f.top_bigram_ok")).cast("long")).alias("n_fail_top_bigram"),
+            F.sum(F.col("f.keep").cast("long")).alias("n_keep"),
+        )
+        .orderBy("source")
+    )
+
+
 def _q_pii_scrub_documents(spark, sf_dir):
     """PII scrubbing (text.scrub_pii): an email, an IPv4, and a phone
     planted into every document must each collapse to its typed
@@ -1263,6 +1295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_documents": _q_boilerplate_documents,
         "quantized_embeddings": _q_quantized_embeddings,
         "pii_scrub_documents": _q_pii_scrub_documents,
+        "repetition_documents": _q_repetition_documents,
         "ivf_exhaustive_topk": _q_ivf_exhaustive_topk,
         "lsh_exhaustive_topk": _q_lsh_exhaustive_topk,
         # rows-only (LSH / pandas-UDF paths; no SQL equivalent)
@@ -1386,6 +1419,48 @@ def oracle_sql() -> dict[str, str]:
         "detected_lang_documents": _lang_id_sql(),
         "payload_meta_documents": _payload_meta_sql(),
         "media_meta_documents": _media_meta_sql(),
+        # identical dup-line / top-bigram char-fraction arithmetic via
+        # DuckDB list lambdas on the same planted construction
+        "repetition_documents": f"""
+            WITH d AS (
+              SELECT doc_id, source,
+                     CASE doc_id % 3
+                       WHEN 0 THEN text || chr(10) || text
+                       WHEN 1 THEN text || ' {" ".join(["spam offer"] * 60)}'
+                       ELSE text END AS text
+              FROM documents),
+            m AS (
+              SELECT source,
+                     list_filter(list_transform(string_split(text, chr(10)),
+                                                x -> trim(x)), x -> x <> '') AS lines,
+                     {_WORDS} AS w
+              FROM d),
+            f AS (
+              SELECT source,
+                     COALESCE(list_sum(list_transform(lines, x -> length(x))), 0) AS lt,
+                     COALESCE(list_sum(list_transform(list_distinct(lines),
+                                                      x -> length(x))), 0) AS ldt,
+                     COALESCE(list_max(list_transform(
+                       list_distinct(list_transform(range(1, len(w)),
+                                                    i -> w[i] || ' ' || w[i+1])),
+                       x -> len(list_filter(list_transform(range(1, len(w)),
+                                                           i -> w[i] || ' ' || w[i+1]),
+                                            y -> y = x)) * (length(x) - 1))), 0) AS top,
+                     COALESCE(list_sum(list_transform(w, x -> length(x))), 0) AS wc
+              FROM m),
+            g AS (
+              SELECT source,
+                     (CASE WHEN lt > 0 THEN (lt - ldt) * 1.0 / lt ELSE 0 END) <= 0.2
+                       AS dup_ok,
+                     (CASE WHEN wc > 0 THEN top * 1.0 / wc ELSE 0 END) <= 0.2
+                       AS bigram_ok
+              FROM f)
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN NOT dup_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_dup_line,
+                   CAST(SUM(CASE WHEN NOT bigram_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_top_bigram,
+                   CAST(SUM(CASE WHEN dup_ok AND bigram_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+            FROM g GROUP BY source ORDER BY source
+        """,
         # analytic ground truth: every doc gains exactly one email, one
         # IP, one phone; n_scrubbed_exact must equal n_docs
         "pii_scrub_documents": """

@@ -328,3 +328,74 @@ def scrub_pii(col: Column) -> Column:
     out = F.regexp_replace(col, PII_EMAIL_RE, "[EMAIL]")
     out = F.regexp_replace(out, PII_PHONE_RE, "[PHONE]")
     return F.regexp_replace(out, PII_IPV4_RE, "[IP]")
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition signals (the other half of the Gopher
+# quality rules: §A1.1 repetition filters — duplicate lines and
+# over-represented n-grams inside ONE document).
+# ---------------------------------------------------------------------------
+
+
+def dup_line_char_fraction(col: Column) -> Column:
+    """Fraction of characters belonging to lines that occur more than
+    once within the document (0.0 for empty).  Pure HOF arithmetic:
+    chars-in-all-lines minus chars-in-distinct-lines, over total."""
+    lines = F.filter(
+        F.transform(F.split(col, "\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+    total = F.aggregate(lines, F.lit(0), lambda a, x: a + F.length(x))
+    distinct_total = F.aggregate(
+        F.array_distinct(lines), F.lit(0), lambda a, x: a + F.length(x)
+    )
+    return F.when(
+        total > 0, (total - distinct_total) / total
+    ).otherwise(F.lit(0.0))
+
+
+def top_bigram_char_fraction(col: Column) -> Column:
+    """Fraction of characters covered by the most frequent word bigram
+    (Gopher flags documents where one 2-gram dominates).  Bigrams via
+    ``arrays_zip`` of the word array against its shift; the max count ×
+    bigram length over total word chars — all JVM-side."""
+    ws = words(col)
+    n = F.size(ws)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.arrays_zip(F.slice(ws, 1, n - 1), F.slice(ws, 2, n - 1)),
+            lambda s: F.concat_ws(" ", s["0"], s["1"]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = F.transform(
+        F.array_distinct(bigrams),
+        lambda b: F.struct(
+            F.size(F.filter(bigrams, lambda x: x == b)).alias("c"),
+            F.length(b).alias("len"),
+        ),
+    )
+    top_chars = F.aggregate(
+        counts,
+        F.lit(0),
+        lambda acc, s: F.greatest(acc, s["c"] * (s["len"] - 1)),  # chars minus the space
+    )
+    total_chars = F.aggregate(ws, F.lit(0), lambda a, w: a + F.length(w))
+    return F.when(total_chars > 0, top_chars / total_chars).otherwise(F.lit(0.0))
+
+
+def repetition_flags(
+    col: Column,
+    max_dup_line_char_fraction: float = 0.2,
+    max_top_bigram_char_fraction: float = 0.2,
+) -> Column:
+    """Struct of repetition booleans (True = rule satisfied) + ``keep``
+    (published Gopher repetition bounds)."""
+    dl = dup_line_char_fraction(col)
+    tb = top_bigram_char_fraction(col)
+    dup_ok = dl <= F.lit(max_dup_line_char_fraction)
+    bigram_ok = tb <= F.lit(max_top_bigram_char_fraction)
+    return F.struct(
+        dup_ok.alias("dup_line_ok"),
+        bigram_ok.alias("top_bigram_ok"),
+        (dup_ok & bigram_ok).alias("keep"),
+    )

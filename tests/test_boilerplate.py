@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from snowy_json_spark.operators.text import frequent_lines, remove_boilerplate_lines
@@ -82,3 +83,39 @@ def test_scrub_pii_and_counts(spark):
     assert got[2][1]["n_phone"] == 2
     assert got[3][0] == rows[3][1]
     assert got[4][0] == "version [IP] of the parser"
+
+
+def test_repetition_flags(spark):
+    from snowy_json_spark.operators.text import repetition_flags
+
+    unique = "\n".join(
+        f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i}" for i in range(10)
+    )
+    dup_lines = "repeated line content here\n" * 8 + "one unique closing line"
+    loop = "buy now " * 40  # one bigram dominates
+    rows = [(0, unique), (1, dup_lines), (2, loop), (3, "")]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {
+        r["id"]: r["f"].asDict()
+        for r in df.select(
+            "id", repetition_flags(F.col("t")).alias("f")
+        ).collect()
+    }
+    assert got[0]["keep"]
+    assert not got[1]["dup_line_ok"]
+    assert not got[2]["top_bigram_ok"]
+    assert got[3]["keep"]  # empty: vacuous pass
+
+
+def test_dup_line_fraction_values(spark):
+    from snowy_json_spark.operators.text import dup_line_char_fraction
+
+    df = spark.createDataFrame(
+        [("aaaa\nbbbb\naaaa",), ("aaaa\nbbbb",)], "t string"
+    )
+    got = [
+        r["f"]
+        for r in df.select(dup_line_char_fraction(F.col("t")).alias("f")).collect()
+    ]
+    assert got[0] == pytest.approx(4 / 12)  # one extra 'aaaa' copy
+    assert got[1] == 0.0
