@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import dedup_representatives, near_dup_clusters
-from .text import gopher_flags
+from .text import gopher_flags, repetition_flags
 
 
 def curate_documents(
@@ -32,6 +32,7 @@ def curate_documents(
     min_jaccard: float = 0.8,
     dedup_mode: str = "word",
     shingle_k: int = 1,
+    check_repetition: bool = False,
     **gopher_bounds,
 ) -> DataFrame:
     """Input columns + ``keep`` boolean + ``drop_reason``
@@ -39,8 +40,12 @@ def curate_documents(
 
     A near-dup cluster keeps exactly its minimum-id member; every other
     member is dropped with reason 'near_dup'.  Documents failing any
-    Gopher rule drop with reason 'quality' and never enter dedup."""
+    Gopher rule (plus, with ``check_repetition``, the dup-line /
+    top-bigram repetition rules) drop with reason 'quality' and never
+    enter dedup."""
     quality_ok = gopher_flags(F.col(text_col), **gopher_bounds)["keep"]
+    if check_repetition:
+        quality_ok = quality_ok & repetition_flags(F.col(text_col))["keep"]
     flagged = df.withColumn("_q_ok", quality_ok)
     survivors = flagged.filter(F.col("_q_ok"))
     clusters = near_dup_clusters(

@@ -40,3 +40,18 @@ def test_quality_dropped_docs_never_reach_dedup(spark):
     got = {r["doc_id"]: (r["keep"], r["drop_reason"]) for r in cur.collect()}
     assert got[0] == (True, None)
     assert got[1] == (False, "quality")
+
+
+def test_repetition_stage_optional(spark):
+    looping = ("the be to of words fine enough length truly and that have "
+               "with more stuff " * 2) + ("buy now " * 60)
+    rows = [(0, GOOD), (1, looping)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {r["doc_id"]: r["keep"] for r in
+            curate_documents(df, "doc_id", "text", min_words=20).collect()}
+    strict = {r["doc_id"]: (r["keep"], r["drop_reason"]) for r in
+              curate_documents(df, "doc_id", "text", min_words=20,
+                               check_repetition=True).collect()}
+    assert base[1] is True          # passes plain gopher rules
+    assert strict[1] == (False, "quality")  # repetition stage catches it
+    assert strict[0] == (True, None)
