@@ -264,7 +264,14 @@ def remove_boilerplate_lines(
     Plan shape: frequent-line set (small by construction) broadcast to
     an ``array_contains``-free hash join — lines explode per document,
     anti-join the frequent set, re-assemble with ``array_join`` after a
-    ``sort_array`` on (doc, position).  No Python in the loop."""
+    ``sort_array`` on (doc, position).  No Python in the loop.
+
+    Caveat: documents are keyed with ``monotonically_increasing_id``,
+    which is only stable when the input plan is deterministic (a plain
+    file scan).  For shuffled/sampled/non-deterministic inputs, add a
+    real id column upstream and the explode/reassemble pair stays
+    consistent automatically (ids are assigned once, before the two
+    consumers fork)."""
     out_col = out_col or text_col
     freq = F.broadcast(frequent_lines(df, text_col, min_doc_frequency, min_line_chars))
     with_id = df.withColumn("_rbid", F.monotonically_increasing_id())
