@@ -660,6 +660,27 @@ def _q_detected_lang_documents(spark, sf_dir):
     )
 
 
+def _q_lang_mismatch_documents(spark, sf_dir):
+    """Declared-vs-detected language consistency (the web-crawl data
+    validation a `lang` column actually needs): per-source mismatch and
+    undetected counts; oracle generated from the same stopword
+    profiles as the detector, so the sides cannot drift."""
+    df = _docs(spark, sf_dir)
+    det = detect_language(F.col("text"))
+    return (
+        df.select("source", "lang", det.alias("detected"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("detected") != F.col("lang")).cast("long")).alias(
+                "n_mismatch"
+            ),
+            F.sum((F.col("detected") == "und").cast("long")).alias("n_undetected"),
+        )
+        .orderBy("source")
+    )
+
+
 def _q_json_field_sum_events(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
@@ -1269,6 +1290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_jaccard_pairs": _q_word_jaccard_pairs,
         "ann_topk_embeddings": _q_ann_topk_embeddings,
         "detected_lang_documents": _q_detected_lang_documents,
+        "lang_mismatch_documents": _q_lang_mismatch_documents,
         "json_field_sum_events": _q_json_field_sum_events,
         "value_quantiles_events": _q_value_quantiles_events,
         "embedding_norm_stats": _q_embedding_norm_stats,
@@ -1329,6 +1351,34 @@ def _lang_id_sql() -> str:
           SELECT CASE WHEN {best} > 0 THEN {case} ELSE 'und' END AS detected
           FROM (SELECT {", ".join(score_cols)} FROM documents)
         ) GROUP BY detected ORDER BY detected
+    """
+
+
+def _lang_mismatch_sql() -> str:
+    """Declared-vs-detected language consistency, generated from the
+    same stopword profiles as :func:`_lang_id_sql`."""
+    from snowy_json_spark.operators.text import STOPWORDS
+
+    score_cols = []
+    for lg, words in STOPWORDS.items():
+        lit = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        score_cols.append(f"len(list_intersect({_WORDS}, {lit})) AS s_{lg}")
+    langs = list(STOPWORDS)
+    best = "GREATEST(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s_{lg} = {best} THEN '{lg}'" for lg in langs
+    ) + " END"
+    return f"""
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN detected <> lang THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_mismatch,
+               CAST(SUM(CASE WHEN detected = 'und' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_undetected
+        FROM (
+          SELECT source, lang,
+                 CASE WHEN {best} > 0 THEN {case} ELSE 'und' END AS detected
+          FROM (SELECT source, lang, {", ".join(score_cols)} FROM documents)
+        ) GROUP BY source ORDER BY source
     """
 
 
@@ -1417,6 +1467,7 @@ def _payload_meta_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "detected_lang_documents": _lang_id_sql(),
+        "lang_mismatch_documents": _lang_mismatch_sql(),
         "payload_meta_documents": _payload_meta_sql(),
         "media_meta_documents": _media_meta_sql(),
         # identical dup-line / top-bigram char-fraction arithmetic via

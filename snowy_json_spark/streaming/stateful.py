@@ -136,3 +136,74 @@ def running_tdigest(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_tdigest_drift(
+    stream_df: DataFrame,
+    value_col: str,
+    key_col: str,
+    snapshot: dict,
+    ks_fail: float = 0.2,
+    delta: float = 200.0,
+) -> DataFrame:
+    """Streaming drift verdicts: a per-key running digest compared
+    against a reference snapshot digest after every batch —
+    (key, n, ks, status) with status pass / fail / missing_snapshot.
+
+    The streaming closure of the batch ``tdigest_drift`` table check:
+    ``snapshot`` is the engine's ``collect_snapshot`` digest dict
+    (means/weights/n/lo/hi per key), broadcast by closure capture;
+    state per key is the running digest only (≤ ~2δ centroids)."""
+    import numpy as np
+
+    from ..operators.tdigest import TDigest, _compress, tdigest_ks
+
+    refs = {
+        k: TDigest(v["means"], v["weights"], v["n"], v["lo"], v["hi"])
+        for k, v in snapshot.items()
+        if v.get("n")
+    }
+    src = stream_df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    out_schema = "key string, n long, ks double, status string"
+    state_schema = (
+        "means array<double>, weights array<double>, n long, lo double, hi double"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            means, weights, n, lo, hi = state.get
+            m = np.asarray(means, dtype="float64")
+            w = np.asarray(weights, dtype="float64")
+        else:
+            m = w = np.empty(0, dtype="float64")
+            n, lo, hi = 0, None, None
+        for pdf in pdfs:
+            v = pdf["_v"].to_numpy(dtype="float64", na_value=np.nan)
+            v = v[~np.isnan(v)]
+            if v.size == 0:
+                continue
+            m = np.concatenate([m, v])
+            w = np.concatenate([w, np.ones_like(v)])
+            m, w = _compress(m, w, delta)
+            n += int(v.size)
+            lo = float(v.min()) if lo is None else min(lo, float(v.min()))
+            hi = float(v.max()) if hi is None else max(hi, float(v.max()))
+        if n == 0:
+            return
+        state.update((list(map(float, m)), list(map(float, w)), n, lo, hi))
+        ref = refs.get(key[0])
+        if ref is None:
+            ks, status = None, "missing_snapshot"
+        else:
+            ks = tdigest_ks(TDigest(m, w, n, lo, hi), ref)
+            status = "fail" if ks >= ks_fail else "pass"
+        yield pd.DataFrame(
+            {"key": [key[0]], "n": [n], "ks": [ks], "status": [status]}
+        )
+
+    return src.groupBy("key").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

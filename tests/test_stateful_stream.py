@@ -99,3 +99,54 @@ def test_running_tdigest_stream(spark):
         assert r["lo"] >= 0.0 and r["hi"] <= 999.0
         assert 350 <= r["p50"] <= 650  # uniform 0..999 → p50 near 500
         assert r["p99"] >= 900
+
+
+def test_stream_tdigest_drift(spark):
+    import numpy as np
+
+    from snowy_json_spark.operators.tdigest import _compress
+    from snowy_json_spark.streaming.stateful import stream_tdigest_drift
+
+    # reference snapshots: key 'a' matches the stream (uniform 0..999),
+    # key 'b' is shifted 3x; key 'c' absent from the snapshot
+    def digest_of(vals):
+        m, w = _compress(vals, np.ones_like(vals), 200.0)
+        return {"means": list(m), "weights": list(w), "n": len(vals),
+                "lo": float(vals.min()), "hi": float(vals.max())}
+
+    u = np.arange(20_000, dtype="float64") % 1000
+    snapshot = {"a": digest_of(u), "b": digest_of(u * 3.0)}
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 600)
+        .load()
+        .select(
+            F.element_at(
+                F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+                (F.col("value") % 3 + 1).cast("int"),
+            ).alias("k"),
+            (F.col("value") % 1000).cast("double").alias("x"),
+        )
+    )
+    drift = stream_tdigest_drift(stream, "x", "k", snapshot, ks_fail=0.2)
+    q = (
+        drift.writeStream.format("memory")
+        .queryName("drift_stream")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 60
+        latest = {}
+        while time.monotonic() < deadline:
+            q.processAllAvailable()
+            for r in spark.sql("SELECT * FROM drift_stream ORDER BY n").collect():
+                latest[r["key"]] = r
+            if all(latest.get(k) and latest[k]["n"] >= 2000 for k in "abc"):
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert latest["a"]["status"] == "pass" and latest["a"]["ks"] < 0.05
+    assert latest["b"]["status"] == "fail" and latest["b"]["ks"] > 0.2
+    assert latest["c"]["status"] == "missing_snapshot"
