@@ -630,10 +630,12 @@ def connected_components(
     near-dup clusters are shallow (variants of one document), so 3-5
     rounds typical.  ``localCheckpoint`` truncates lineage per round so
     the plan doesn't grow with iterations.  The cluster id is the
-    minimum member id — deterministic, independent of partitioning."""
-    edges = pairs.select(
-        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
-    )
+    minimum member id under the id type's ordering (long doc ids,
+    string urls — any orderable key) — deterministic, independent of
+    partitioning.  Raises if labels have not stabilized after
+    ``max_iter`` rounds (a silent truncation would split one component
+    into several 'clusters'); raise ``max_iter`` for long chains."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -660,8 +662,11 @@ def connected_components(
         )
         labels = new
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(component diameter exceeds max_iter); raise max_iter"
+    )
 
 
 def near_dup_clusters(

@@ -306,7 +306,10 @@ def parse_media_header(payload: bytes) -> tuple[str, int | None, int | None, int
                 bitrate = _MP3_BITRATES[br_idx] * 1000
                 rate = _MP3_RATES[sr_idx]
                 channels = 1 if (hdr[3] >> 6) == 3 else 2
-                dur = int(len(payload) * 8 * 1000 / bitrate)  # CBR estimate
+                # CBR estimate over the AUDIO bytes only — the skipped
+                # ID3v2 tag (which can carry megabytes of album art)
+                # must not count as playing time
+                dur = int((len(payload) - i) * 8 * 1000 / bitrate)
                 return "mp3", dur, rate, channels, None, None
         raise ValueError("unsupported MP3 frame header")
     raise ValueError("unrecognized media container")

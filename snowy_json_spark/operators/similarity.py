@@ -378,7 +378,15 @@ def knn_join(
     scale raise n_planes so avg_bucket_size = rows / 2^n_planes keeps
     the candidate count linear-ish."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        first = df.select(vec_col).first()
+        if first is None:  # empty input: empty result, not a crash
+            return df.select(
+                F.col(id_col).alias("src_id"),
+                F.col(id_col).alias("nbr_id"),
+                F.lit(0.0).alias("cosine"),
+                F.lit(0).alias("rnk"),
+            ).limit(0)
+        dim = len(first[0])
     if n_probes is None:
         n_probes = n_planes + 1
     b = with_lsh_bucket(df, vec_col, dim, n_planes, seed)

@@ -174,8 +174,13 @@ def tdigest_quantiles(
     delta: float = 200.0,
     fanin: int = 32,
 ) -> list[float]:
-    """Convenience: sketch → collect the one row → interpolate."""
+    """Convenience: sketch → collect the one row → interpolate.
+
+    Raises ``ValueError`` on an empty / all-null column (the sketch has
+    no rows to interpolate; ``percentile_approx`` would return null)."""
     row = tdigest_sketch(df, column, delta, fanin).first()
+    if row is None:
+        raise ValueError(f"tdigest_quantiles: no non-null values in {column!r}")
     return [float(v) for v in TDigest.from_row(row).quantile(list(probs))]
 
 

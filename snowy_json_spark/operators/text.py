@@ -290,18 +290,17 @@ def remove_boilerplate_lines(
         ).alias("_rebuilt")
     )
     joined = with_id.join(rebuilt, "_rbid", "left")
+    # NULL text stays NULL (a row the operator passes through, not an
+    # emptied document); '' means every line was corpus-frequent
+    out_expr = F.when(
+        F.col(text_col).isNotNull(), F.coalesce(F.col("_rebuilt"), F.lit(""))
+    )
     return joined.select(
         *[
-            F.coalesce(F.col("_rebuilt"), F.lit("")).alias(c)
-            if c == out_col and c in df.columns
-            else F.col(c)
+            out_expr.alias(c) if c == out_col and c in df.columns else F.col(c)
             for c in df.columns
         ],
-        *(
-            [F.coalesce(F.col("_rebuilt"), F.lit("")).alias(out_col)]
-            if out_col not in df.columns
-            else []
-        ),
+        *([out_expr.alias(out_col)] if out_col not in df.columns else []),
     )
 
 

@@ -44,7 +44,10 @@ def stream_url_dedup(
     default port, fragment, tracking params, query order) arriving
     inside the window collapse onto one canonical key, so state holds
     one entry per canonical url per window.  URLs that fail to parse
-    dedupe on their raw string (``coalesce``), never on a shared null."""
+    dedupe on their raw string (``coalesce``), never on a shared null.
+    The output schema is the input plus a ``canonical_url`` column (the
+    dedup key — kept because downstream joins/uniqueness want it);
+    ``.drop("canonical_url")`` restores the input schema."""
     from ..operators.urls import canonicalize_url
 
     keyed = stream_df.withColumn(

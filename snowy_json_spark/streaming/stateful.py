@@ -66,6 +66,39 @@ def running_violation_stats(
     )
 
 
+def _accumulate_digest_state(state: GroupState, pdfs, delta: float):
+    """Shared digest-state accumulator for the stateful t-digest
+    operators: load state, fold each Arrow batch into the centroids,
+    persist, and return (means, weights, n, lo, hi) — or None when no
+    values have been seen yet."""
+    import numpy as np
+
+    from ..operators.tdigest import _compress
+
+    if state.exists:
+        means, weights, n, lo, hi = state.get
+        m = np.asarray(means, dtype="float64")
+        w = np.asarray(weights, dtype="float64")
+    else:
+        m = w = np.empty(0, dtype="float64")
+        n, lo, hi = 0, None, None
+    for pdf in pdfs:
+        v = pdf["_v"].to_numpy(dtype="float64", na_value=np.nan)
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            continue
+        m = np.concatenate([m, v])
+        w = np.concatenate([w, np.ones_like(v)])
+        m, w = _compress(m, w, delta)
+        n += int(v.size)
+        lo = float(v.min()) if lo is None else min(lo, float(v.min()))
+        hi = float(v.max()) if hi is None else max(hi, float(v.max()))
+    if n == 0:
+        return None
+    state.update((list(map(float, m)), list(map(float, w)), n, lo, hi))
+    return m, w, n, lo, hi
+
+
 TDIGEST_OUTPUT_SCHEMA = (
     "key string, n long, lo double, hi double, p50 double, p99 double"
 )
@@ -89,9 +122,7 @@ def running_tdigest(
     has seen 10^3.  Batch values are compressed INTO the existing
     centroids with the same numpy merge as the batch sketch
     (operators/tdigest.py), so stream and batch digests agree."""
-    import numpy as np
-
-    from ..operators.tdigest import TDigest, _compress
+    from ..operators.tdigest import TDigest
 
     src = stream_df.select(
         F.col(key_col).cast("string").alias("key"),
@@ -101,27 +132,10 @@ def running_tdigest(
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        if state.exists:
-            means, weights, n, lo, hi = state.get
-            m = np.asarray(means, dtype="float64")
-            w = np.asarray(weights, dtype="float64")
-        else:
-            m = w = np.empty(0, dtype="float64")
-            n, lo, hi = 0, None, None
-        for pdf in pdfs:
-            v = pdf["_v"].to_numpy(dtype="float64", na_value=np.nan)
-            v = v[~np.isnan(v)]
-            if v.size == 0:
-                continue
-            m = np.concatenate([m, v])
-            w = np.concatenate([w, np.ones_like(v)])
-            m, w = _compress(m, w, delta)
-            n += int(v.size)
-            lo = float(v.min()) if lo is None else min(lo, float(v.min()))
-            hi = float(v.max()) if hi is None else max(hi, float(v.max()))
-        if n == 0:
+        acc = _accumulate_digest_state(state, pdfs, delta)
+        if acc is None:
             return
-        state.update((list(map(float, m)), list(map(float, w)), n, lo, hi))
+        m, w, n, lo, hi = acc
         d = TDigest(m, w, n, lo, hi)
         p50, p99 = (float(x) for x in d.quantile([0.5, 0.99]))
         yield pd.DataFrame(
@@ -154,9 +168,7 @@ def stream_tdigest_drift(
     ``snapshot`` is the engine's ``collect_snapshot`` digest dict
     (means/weights/n/lo/hi per key), broadcast by closure capture;
     state per key is the running digest only (≤ ~2δ centroids)."""
-    import numpy as np
-
-    from ..operators.tdigest import TDigest, _compress, tdigest_ks
+    from ..operators.tdigest import TDigest, tdigest_ks
 
     refs = {
         k: TDigest(v["means"], v["weights"], v["n"], v["lo"], v["hi"])
@@ -173,27 +185,10 @@ def stream_tdigest_drift(
     )
 
     def update(key, pdfs, state: GroupState):
-        if state.exists:
-            means, weights, n, lo, hi = state.get
-            m = np.asarray(means, dtype="float64")
-            w = np.asarray(weights, dtype="float64")
-        else:
-            m = w = np.empty(0, dtype="float64")
-            n, lo, hi = 0, None, None
-        for pdf in pdfs:
-            v = pdf["_v"].to_numpy(dtype="float64", na_value=np.nan)
-            v = v[~np.isnan(v)]
-            if v.size == 0:
-                continue
-            m = np.concatenate([m, v])
-            w = np.concatenate([w, np.ones_like(v)])
-            m, w = _compress(m, w, delta)
-            n += int(v.size)
-            lo = float(v.min()) if lo is None else min(lo, float(v.min()))
-            hi = float(v.max()) if hi is None else max(hi, float(v.max()))
-        if n == 0:
+        acc = _accumulate_digest_state(state, pdfs, delta)
+        if acc is None:
             return
-        state.update((list(map(float, m)), list(map(float, w)), n, lo, hi))
+        m, w, n, lo, hi = acc
         ref = refs.get(key[0])
         if ref is None:
             ks, status = None, "missing_snapshot"

@@ -119,3 +119,14 @@ def test_dup_line_fraction_values(spark):
     ]
     assert got[0] == pytest.approx(4 / 12)  # one extra 'aaaa' copy
     assert got[1] == 0.0
+
+
+def test_remove_boilerplate_preserves_null_text(spark):
+    df = spark.createDataFrame(
+        [(0, BANNER), (1, BANNER), (2, BANNER), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in
+           remove_boilerplate_lines(df, "text", min_doc_frequency=3).collect()}
+    assert out[0] == ""      # emptied: every line was frequent
+    assert out[3] is None    # NULL stays NULL, not ''

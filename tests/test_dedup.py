@@ -264,3 +264,33 @@ def test_near_dup_clusters_planted(spark):
         for r in near_dup_clusters(df, "doc_id", "text", min_jaccard=0.7).collect()
     }
     assert got == {0: 0, 1: 0, 2: 0}  # 3 has no partner → absent
+
+
+def test_connected_components_string_ids(spark):
+    """URL-keyed pair graphs must cluster without numeric casts."""
+    from snowy_json_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("https://a.com/x", "https://b.com/y"), ("https://b.com/y", "https://c.com/z")],
+        "id_a string, id_b string",
+    )
+    labels = {r["node"]: r["cluster"] for r in connected_components(pairs).collect()}
+    assert labels == {
+        "https://a.com/x": "https://a.com/x",
+        "https://b.com/y": "https://a.com/x",
+        "https://c.com/z": "https://a.com/x",
+    }
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    import pytest
+
+    from snowy_json_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    ok = connected_components(chain, max_iter=15)
+    assert ok.select("cluster").distinct().count() == 1

@@ -112,3 +112,17 @@ def test_extract_media_metadata_operator(spark):
     assert got["u3"]["format"] is None and got["u3"]["n_bytes"] == 7
     assert got["u3"]["sha256"] is not None  # hash still recorded
     assert got["u4"]["format"] is None and got["u4"]["sha256"] is None
+
+
+def test_mp3_duration_excludes_id3_tag():
+    """A large ID3v2 tag (album art) must not count as playing time."""
+    audio = mp3_bytes(50)
+    tag_body = b"\x00" * 5000
+    size = len(tag_body)
+    syncsafe = bytes(
+        [(size >> 21) & 0x7F, (size >> 14) & 0x7F, (size >> 7) & 0x7F, size & 0x7F]
+    )
+    tagged = b"ID3" + bytes([4, 0, 0]) + syncsafe + tag_body + audio
+    _, dur_plain, *_ = parse_media_header(audio)
+    _, dur_tagged, *_ = parse_media_header(tagged)
+    assert dur_tagged == pytest.approx(dur_plain, abs=2)

@@ -309,3 +309,12 @@ def test_quantization_zero_vector(spark):
     ).select(F.col("q.scale"), dequantize_embedding(F.col("q")).alias("d")).first()
     assert r["scale"] == 0.0
     assert r["d"] == [0.0, 0.0, 0.0]
+
+
+def test_knn_join_empty_input(spark):
+    from snowy_json_spark.operators.similarity import knn_join
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = knn_join(empty, "vec_id", "embedding", k=3)
+    assert out.count() == 0
+    assert out.columns == ["src_id", "nbr_id", "cosine", "rnk"]

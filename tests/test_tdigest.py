@@ -99,3 +99,9 @@ def test_ks_drift_statistic():
     shift = tdigest_ks(mk(a_vals), mk(b_shift))
     assert same < 0.02  # same distribution → tiny sup-gap
     assert shift > 0.2  # doubled scale → large, fails DriftThresholds.ks_fail
+
+
+def test_quantiles_empty_column_raises(spark):
+    df = spark.createDataFrame([(None,), (None,)], "x double")
+    with pytest.raises(ValueError, match="no non-null values"):
+        tdigest_quantiles(df, "x", [0.5])
