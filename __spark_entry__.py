@@ -930,6 +930,16 @@ def _q_payload_meta_documents(spark, sf_dir):
     )
 
 
+def _q_top_ngrams_documents(spark, sf_dir):
+    """Corpus top-k n-gram table (text.top_ngrams): the standard
+    vocabulary/boilerplate/contamination probe — top-20 word bigrams
+    with counts, vs DuckDB building the identical n-gram lists."""
+    from snowy_json_spark.operators.text import top_ngrams
+
+    docs = _docs(spark, sf_dir)
+    return top_ngrams(docs, "text", n=2, k=20, min_count=2)
+
+
 def _q_repetition_documents(spark, sf_dir):
     """Gopher repetition filters (text.repetition_flags): doc_id%3==0
     docs get their text doubled across a newline (dup-line chars >
@@ -1318,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_embeddings": _q_quantized_embeddings,
         "pii_scrub_documents": _q_pii_scrub_documents,
         "repetition_documents": _q_repetition_documents,
+        "top_ngrams_documents": _q_top_ngrams_documents,
         "ivf_exhaustive_topk": _q_ivf_exhaustive_topk,
         "lsh_exhaustive_topk": _q_lsh_exhaustive_topk,
         # rows-only (LSH / pandas-UDF paths; no SQL equivalent)
@@ -1470,6 +1481,19 @@ def oracle_sql() -> dict[str, str]:
         "lang_mismatch_documents": _lang_mismatch_sql(),
         "payload_meta_documents": _payload_meta_sql(),
         "media_meta_documents": _media_meta_sql(),
+        # identical bigram construction via DuckDB list lambdas;
+        # deterministic (count DESC, ngram) ordering on both sides
+        "top_ngrams_documents": f"""
+            WITH g AS (
+              SELECT unnest(CASE WHEN len({_WORDS}) >= 2
+                THEN list_transform(range(1, len({_WORDS})),
+                                    i -> {_WORDS}[i] || ' ' || {_WORDS}[i+1])
+                ELSE CAST([] AS VARCHAR[]) END) AS ngram
+              FROM documents)
+            SELECT ngram, COUNT(*) AS n_occurrences
+            FROM g GROUP BY ngram HAVING COUNT(*) >= 2
+            ORDER BY n_occurrences DESC, ngram LIMIT 20
+        """,
         # identical dup-line / top-bigram char-fraction arithmetic via
         # DuckDB list lambdas on the same planted construction
         "repetition_documents": f"""

@@ -411,3 +411,36 @@ def repetition_flags(
         bigram_ok.alias("top_bigram_ok"),
         (dup_ok & bigram_ok).alias("keep"),
     )
+
+
+def top_ngrams(
+    df: DataFrame,
+    text_col: str,
+    n: int = 2,
+    k: int = 20,
+    min_count: int = 2,
+) -> DataFrame:
+    """(ngram, n_occurrences) for the k most frequent word n-grams in
+    the corpus — the standard corpus-analysis probe (vocabulary drift,
+    boilerplate discovery, contamination spot-checks).
+
+    One explode + one partial-agg shuffle keyed on the n-gram; the
+    top-k is TakeOrderedAndProject (per-partition heaps, no global
+    sort).  Ties broken by the n-gram string for determinism."""
+    ws = words(F.col(text_col))
+    size = F.size(ws)
+    grams = F.when(
+        size >= n,
+        F.transform(
+            F.sequence(F.lit(1), size - n + 1),
+            lambda i: F.array_join(F.slice(ws, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram"))
+        .limit(k)
+    )

@@ -318,3 +318,20 @@ def test_knn_join_empty_input(spark):
     out = knn_join(empty, "vec_id", "embedding", k=3)
     assert out.count() == 0
     assert out.columns == ["src_id", "nbr_id", "cosine", "rnk"]
+
+
+def test_top_ngrams(spark):
+    from snowy_json_spark.operators.text import top_ngrams
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat ran to the mat"),
+        (2, "a dog"),
+        (3, "x"),  # single word: no bigrams
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = [(r["ngram"], r["n_occurrences"]) for r in
+           top_ngrams(df, "text", n=2, k=3, min_count=2).collect()]
+    assert got[0] == ("the cat", 2)
+    assert ("the mat", 2) in got
+    assert all(c >= 2 for _, c in got)
