@@ -930,6 +930,40 @@ def _q_payload_meta_documents(spark, sf_dir):
     )
 
 
+def _q_schema_contract_documents(spark, sf_dir):
+    """Declarative schema contract (engine kind:"schema" — metadata
+    only, zero data scan): a contract with one mistyped, one missing,
+    and two undeclared columns against the real documents schema must
+    emit exactly those four violations; the oracle states them as
+    constants derived from the table's known parquet schema."""
+    from snowy_json_spark.engine import ValidationEngine
+
+    docs = _docs(spark, sf_dir)
+    eng = ValidationEngine(
+        {
+            "properties": {},
+            "x-table-checks": [
+                {
+                    "id": "doc_contract",
+                    "kind": "schema",
+                    "allow_extra": False,
+                    "columns": {
+                        "doc_id": "bigint",
+                        "text": "string",
+                        "lang": "int",  # really string → type violation
+                        "nope": "string",  # missing
+                    },
+                }
+            ],
+        },
+        id_cols=["doc_id"],
+    )
+    res = eng.run(docs)
+    return res.table_violations.select(
+        "constraint_id", "instance_path", "observed_value"
+    ).orderBy("instance_path")
+
+
 def _q_top_ngrams_documents(spark, sf_dir):
     """Corpus top-k n-gram table (text.top_ngrams): the standard
     vocabulary/boilerplate/contamination probe — top-20 word bigrams
@@ -1329,6 +1363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_documents": _q_pii_scrub_documents,
         "repetition_documents": _q_repetition_documents,
         "top_ngrams_documents": _q_top_ngrams_documents,
+        "schema_contract_documents": _q_schema_contract_documents,
         "ivf_exhaustive_topk": _q_ivf_exhaustive_topk,
         "lsh_exhaustive_topk": _q_lsh_exhaustive_topk,
         # rows-only (LSH / pandas-UDF paths; no SQL equivalent)
@@ -1481,6 +1516,22 @@ def oracle_sql() -> dict[str, str]:
         "lang_mismatch_documents": _lang_mismatch_sql(),
         "payload_meta_documents": _payload_meta_sql(),
         "media_meta_documents": _media_meta_sql(),
+        # constants derived from documents' known parquet schema
+        # (doc_id bigint, text string, lang string, source string,
+        #  n_chars bigint)
+        "schema_contract_documents": """
+            SELECT * FROM (VALUES
+              ('#/x-table-checks/doc_contract/lang', '#/lang',
+               'type=string expected=int'),
+              ('#/x-table-checks/doc_contract/n_chars', '#/n_chars',
+               'unexpected_column'),
+              ('#/x-table-checks/doc_contract/nope', '#/nope',
+               'missing_column'),
+              ('#/x-table-checks/doc_contract/source', '#/source',
+               'unexpected_column')
+            ) AS t(constraint_id, instance_path, observed_value)
+            ORDER BY instance_path
+        """,
         # identical bigram construction via DuckDB list lambdas;
         # deterministic (count DESC, ngram) ordering on both sides
         "top_ngrams_documents": f"""

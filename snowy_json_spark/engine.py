@@ -55,6 +55,28 @@ from .plans.report import (
 from .streaming.manifest import Manifest, lineage_hash, partition_key_expr
 
 
+def _schema_violations(schema, chk: dict, cid: str) -> list[tuple]:
+    """(constraint_id, instance_path, observed_value) rows for a
+    ``kind: "schema"`` contract: expected ``columns`` is a dict of
+    column name → Spark ``simpleString`` type; ``allow_extra`` (default
+    True) controls whether undeclared columns violate."""
+    expected: dict = chk["columns"]
+    actual = {f.name: f.dataType.simpleString() for f in schema.fields}
+    out: list[tuple] = []
+    for name, typ in expected.items():
+        if name not in actual:
+            out.append((f"{cid}/{name}", f"#/{name}", "missing_column"))
+        elif actual[name] != typ:
+            out.append(
+                (f"{cid}/{name}", f"#/{name}", f"type={actual[name]} expected={typ}")
+            )
+    if not chk.get("allow_extra", True):
+        for name in actual:
+            if name not in expected:
+                out.append((f"{cid}/{name}", f"#/{name}", "unexpected_column"))
+    return sorted(out)
+
+
 def _digest_dict(row) -> dict:
     """JSON-serializable t-digest (snapshot format); empty-input safe."""
     if row is None:
@@ -138,7 +160,21 @@ class ValidationEngine:
         for chk in table_checks if table_checks is not None else self.table_checks:
             kind = chk.get("kind")
             cid = f"#/x-table-checks/{chk.get('id', kind)}"
-            if kind == "unique":
+            if kind == "schema":
+                # declarative schema contract: metadata-only (zero data
+                # scan) — missing / mistyped / unexpected columns
+                svs = _schema_violations(df.schema, chk, cid)
+                if svs:
+                    tv_parts.append(
+                        spark.createDataFrame(
+                            [tuple([None] * len(self.id_cols)) + s for s in svs],
+                            ", ".join(
+                                [f"{c} string" for c in self.id_cols]
+                                + [f"{c} string" for c in VIOLATION_COLUMNS]
+                            ),
+                        )
+                    )
+            elif kind == "unique":
                 keys = chk["keys"]
                 src = df
                 if chk.get("canonicalize_urls"):
@@ -452,15 +488,25 @@ class ValidationEngine:
         )
         # drift inputs were materialized under chk["column"] in the
         # flagged table — drop the exprs so they aren't re-applied
+        # schema contracts check the ORIGINAL (wide) schema, not the
+        # narrow flagged projection; everything else re-runs against it
         checks_for_back = [
             {k: v for k, v in chk.items() if k != "expr"}
             if chk.get("kind") in ("drift", "quantile_drift", "tdigest_drift")
             else chk
             for chk in self.table_checks
+            if chk.get("kind") != "schema"
         ]
+        schema_checks = [c for c in self.table_checks if c.get("kind") == "schema"]
         table_viol, drift_out, stats_out = self._run_table_checks(
             back, dims or {}, snapshot, table_checks=checks_for_back
         )
+        if schema_checks:
+            sv, _, _ = self._run_table_checks(
+                df, dims or {}, snapshot, table_checks=schema_checks
+            )
+            if sv is not None:
+                table_viol = sv if table_viol is None else table_viol.unionByName(sv)
         verdicts = self._record_manifest(spark, verdicts, manifest)
         return ValidationResult(
             verdicts=verdicts,
