@@ -930,6 +930,47 @@ def _q_payload_meta_documents(spark, sf_dir):
     )
 
 
+_BENCH_TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "paris is the capital of france",
+]
+
+
+def _bench_trigrams() -> list[str]:
+    out: set[str] = set()
+    for t in _BENCH_TEXTS:
+        ws = [w for w in " ".join(t.lower().split()).split(" ") if w]
+        out.update(" ".join(ws[i : i + 3]) for i in range(len(ws) - 2))
+    return sorted(out)
+
+
+def _q_contamination_documents(spark, sf_dir):
+    """Eval-set decontamination probe (text.contamination_flags):
+    doc_id%4==0 docs get a benchmark sentence appended (guaranteed
+    trigram overlap), others carry only organic overlap (none, in this
+    synthetic corpus — the oracle computes it rather than assuming).
+    The oracle uses the SAME trigram list built by the same helper, so
+    the sides cannot drift."""
+    from snowy_json_spark.operators.text import contamination_flags
+
+    docs = _docs(spark, sf_dir)
+    planted = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(F.col("text"), F.lit(" " + _BENCH_TEXTS[0])),
+    ).otherwise(F.col("text"))
+    g = contamination_flags(planted, _BENCH_TEXTS, n=3, min_overlap=1)
+    return (
+        docs.select("source", g.alias("g"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("g.contaminated").cast("long")).alias("n_contaminated"),
+            F.sum(F.col("g.n_overlap").cast("long")).alias("total_overlap"),
+        )
+        .orderBy("source")
+    )
+
+
 def _q_schema_contract_documents(spark, sf_dir):
     """Declarative schema contract (engine kind:"schema" — metadata
     only, zero data scan): a contract with one mistyped, one missing,
@@ -1364,6 +1405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_documents": _q_repetition_documents,
         "top_ngrams_documents": _q_top_ngrams_documents,
         "schema_contract_documents": _q_schema_contract_documents,
+        "contamination_documents": _q_contamination_documents,
         "ivf_exhaustive_topk": _q_ivf_exhaustive_topk,
         "lsh_exhaustive_topk": _q_lsh_exhaustive_topk,
         # rows-only (LSH / pandas-UDF paths; no SQL equivalent)
@@ -1516,6 +1558,31 @@ def oracle_sql() -> dict[str, str]:
         "lang_mismatch_documents": _lang_mismatch_sql(),
         "payload_meta_documents": _payload_meta_sql(),
         "media_meta_documents": _media_meta_sql(),
+        # identical planted construction + the same generated trigram
+        # list; distinct-doc-trigram ∩ benchmark via list_intersect
+        "contamination_documents": f"""
+            WITH d AS (
+              SELECT source,
+                     CASE WHEN doc_id % 4 = 0
+                          THEN text || ' {_BENCH_TEXTS[0]}'
+                          ELSE text END AS text
+              FROM documents),
+            g AS (
+              SELECT source,
+                     len(list_intersect(
+                       list_distinct(CASE WHEN len({_WORDS}) >= 3
+                         THEN list_transform(range(1, len({_WORDS}) - 1),
+                           i -> {_WORDS}[i] || ' ' || {_WORDS}[i+1] || ' ' || {_WORDS}[i+2])
+                         ELSE CAST([] AS VARCHAR[]) END),
+                       [{", ".join("'" + t + "'" for t in _bench_trigrams())}]
+                     )) AS n_overlap
+              FROM d)
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN n_overlap >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_contaminated,
+                   CAST(SUM(n_overlap) AS BIGINT) AS total_overlap
+            FROM g GROUP BY source ORDER BY source
+        """,
         # constants derived from documents' known parquet schema
         # (doc_id bigint, text string, lang string, source string,
         #  n_chars bigint)

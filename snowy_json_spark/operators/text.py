@@ -444,3 +444,42 @@ def top_ngrams(
         .orderBy(F.col("n_occurrences").desc(), F.col("ngram"))
         .limit(k)
     )
+
+
+def contamination_flags(
+    col: Column,
+    benchmark_texts: list[str],
+    n: int = 3,
+    min_overlap: int = 1,
+) -> Column:
+    """struct(n_overlap, contaminated): does the document share ≥
+    ``min_overlap`` word n-grams with ANY benchmark text?  The standard
+    eval-decontamination probe for training corpora.
+
+    The benchmark n-gram set (small — eval suites are KBs) is compiled
+    into ONE literal array and matched with ``array_intersect`` against
+    each document's n-gram array: fully JVM-side, broadcast-by-literal,
+    no join, no shuffle.  For benchmark sets too large for a literal
+    (>~10^4 n-grams), switch to a broadcast semi-join on an exploded
+    n-gram table — same counts, one extra shuffle-free join."""
+    bench: set[str] = set()
+    for t in benchmark_texts:
+        ws = [w for w in " ".join(t.lower().split()).split(" ") if w]
+        bench.update(
+            " ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
+        )
+    bench_arr = F.array(*[F.lit(g) for g in sorted(bench)])
+    ws = words(col)
+    size = F.size(ws)
+    grams = F.when(
+        size >= n,
+        F.transform(
+            F.sequence(F.lit(1), size - n + 1),
+            lambda i: F.array_join(F.slice(ws, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_overlap = F.size(F.array_intersect(F.array_distinct(grams), bench_arr))
+    return F.struct(
+        n_overlap.alias("n_overlap"),
+        (n_overlap >= F.lit(min_overlap)).alias("contaminated"),
+    )

@@ -335,3 +335,22 @@ def test_top_ngrams(spark):
     assert got[0] == ("the cat", 2)
     assert ("the mat", 2) in got
     assert all(c >= 2 for _, c in got)
+
+
+def test_contamination_flags(spark):
+    from snowy_json_spark.operators.text import contamination_flags
+
+    bench = ["the quick brown fox jumps", "paris is the capital of france"]
+    rows = [
+        (0, "we saw the quick brown fox jumps over things"),  # contaminated
+        (1, "everyone knows paris is the capital of france obviously"),
+        (2, "completely unrelated text about gardening and tools"),
+        (3, "quick brown dogs"),  # shares words but no full trigram
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    g = contamination_flags(F.col("t"), bench, n=3, min_overlap=1)
+    got = {r["id"]: r["g"].asDict() for r in df.select("id", g.alias("g")).collect()}
+    assert got[0]["contaminated"] and got[0]["n_overlap"] == 3
+    assert got[1]["contaminated"]
+    assert not got[2]["contaminated"] and got[2]["n_overlap"] == 0
+    assert not got[3]["contaminated"]
