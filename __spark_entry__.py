@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from snowy_json_spark.operators.dedup import (
+    exact_jaccard_for_pairs,
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_near_duplicates,
@@ -577,21 +578,61 @@ def _q_cosine_planted_pairs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# rows-only (non-SQL-expressible: LSH/UDF paths; pinned by pytest goldens)
+# full-corpus near-dup pipelines, exact-verified (round-4: the last two
+# `no_oracle` battery rows restated as candidate → exact-recount outputs
+# so the DuckDB char-5-shingle Jaccard oracle checks them end-to-end)
 # ---------------------------------------------------------------------------
 
 
 def _q_minhash_near_dups_documents(spark, sf_dir):
+    """Full-corpus MinHash+LSH near-dup detection, exact-verified: banded
+    candidates (64 hashes × 16 bands, char-5 shingles) recounted by
+    exact_jaccard_for_pairs (per-pair array_intersect — linear in
+    candidates, the 10^12-row verify plan) and kept at true J ≥ 0.5.
+
+    Output equals the exact full-corpus pair set because banding recall
+    at this corpus is exactly 1 (deterministic hash family; every true
+    pair here has J ≥ 0.92 → per-band match prob 0.92^4 = 0.72, miss
+    prob (1-0.72)^16 ≈ 2e-9; pinned by test_dedup.py recall test at
+    sf0.001), so the DuckDB oracle recomputes the same pairs from
+    first principles — a red row here means the signature/banding
+    pipeline dropped a real duplicate."""
     df = _docs(spark, sf_dir)
-    return minhash_near_duplicates(
-        df, "doc_id", "text", threshold=0.5, n_hashes=64, n_bands=16
-    ).orderBy("id_a", "id_b")
+    sigs = minhash_signatures(df, "doc_id", "text", n_hashes=64, shingle_k=5,
+                              mode="char")
+    cands = lsh_candidate_pairs(sigs, "doc_id", n_bands=16, rows_per_band=4)
+    verified = exact_jaccard_for_pairs(cands, df, "doc_id", "text",
+                                       shingle_k=5, mode="char")
+    return (
+        verified.filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 def _q_simhash_near_dups_documents(spark, sf_dir):
+    """Full-corpus SimHash near-dup detection, exact-verified: banded
+    64-bit char-5-shingle fingerprints (pigeonhole banding at
+    max_hamming=8 — recall 1 over Hamming distance by construction)
+    recounted by exact char-5 Jaccard and kept at true J ≥ 0.9.
+
+    Char-shingle features make the 64 bit votes stable on these short
+    (~300-char) docs: true J ≥ 0.9 pairs measure Hamming 0-6 at both
+    SFs (word features span 0-9 — too noisy), so the radius-8 banding
+    captures every true pair with margin 2 (pinned by test_dedup.py)
+    and the verified output equals the exact J ≥ 0.9 pair set the
+    DuckDB oracle recomputes from first principles."""
     df = _docs(spark, sf_dir)
-    return simhash_near_duplicates(df, "doc_id", "text", max_hamming=6).orderBy(
-        "id_a", "id_b"
+    cands = simhash_near_duplicates(
+        df, "doc_id", "text", max_hamming=8, feature="char", shingle_k=5
+    )
+    verified = exact_jaccard_for_pairs(
+        cands.select("id_a", "id_b"), df, "doc_id", "text", shingle_k=5, mode="char"
+    )
+    return (
+        verified.filter(F.col("jaccard") >= 0.9)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
     )
 
 
@@ -1420,6 +1461,35 @@ _NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 _WORDS = f"list_filter(string_split({_NORM}, ' '), x -> x <> '')"
 
 
+def _char5_jaccard_oracle(threshold: float) -> str:
+    """Exact full-corpus char-5-shingle Jaccard in DuckDB, mirroring
+    dedup.shingles(col, 5, 'char') including the short-string case
+    (sequence(1, greatest(len-4, 1)) → a sub-5-char text yields one
+    truncated shingle, never an empty set)."""
+    return f"""
+        WITH norm AS (
+          SELECT doc_id, {_NORM} AS t FROM documents WHERE text IS NOT NULL
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id, substr(t, CAST(i AS INTEGER), 5) AS s
+          FROM norm, UNNEST(range(1, greatest(length(t) - 4, 1) + 1)) AS r(i)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               ROUND(ni * 1.0 / (sa.n + sb.n - ni), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE ni * 1.0 / (sa.n + sb.n - ni) >= {threshold}
+        ORDER BY id_a, id_b
+    """
+
+
 def _lang_id_sql() -> str:
     """Generated from the SAME stopword profiles the Spark operator uses
     (operators/text.py STOPWORDS), so the two sides cannot drift."""
@@ -1891,6 +1961,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.doc_id % 2 = 0 AND a.doc_id < 100 AND b.doc_id < 100
             ORDER BY id_a
         """,
+        # full-corpus char-5-shingle Jaccard from first principles —
+        # the exact pair set the verified LSH pipelines must recover
+        # (recall-1 margins documented in the query docstrings)
+        "minhash_near_dups_documents": _char5_jaccard_oracle(0.5),
+        "simhash_near_dups_documents": _char5_jaccard_oracle(0.9),
         "unevaluated_props_documents": """
             WITH g AS (
               SELECT lang, source,

@@ -294,3 +294,83 @@ def test_connected_components_nonconvergence_raises(spark):
         connected_components(chain, max_iter=2)
     ok = connected_components(chain, max_iter=15)
     assert ok.select("cluster").distinct().count() == 1
+
+
+# ---------------------------------------------------------------------------
+# round-4: exact-verified full-corpus pipelines (the CORRECTNESS battery
+# forms) — recall-1 margins pinned here so the oracle equality cannot
+# silently depend on luck
+# ---------------------------------------------------------------------------
+
+
+def test_exact_jaccard_for_pairs_matches_selfjoin(spark, docs):
+    """Per-pair array_intersect recount == explode-self-join jaccard."""
+    from snowy_json_spark.operators.dedup import exact_jaccard_for_pairs
+
+    ref = jaccard_pairs(docs, "doc_id", "text", shingle_k=5, mode="char")
+    pairs = ref.select("id_a", "id_b")
+    got = exact_jaccard_for_pairs(pairs, docs, "doc_id", "text", 5, "char")
+    ref_m = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ref.collect()}
+    got_m = {(r["id_a"], r["id_b"]): r["jaccard"] for r in got.collect()}
+    assert set(ref_m) == set(got_m)
+    for k in ref_m:
+        assert abs(ref_m[k] - got_m[k]) < 1e-12
+
+
+def test_full_corpus_lsh_recall_is_one(spark):
+    """Pins the measured property the battery oracles rely on: on the
+    driver corpus, every exact char-5-Jaccard pair at the query
+    threshold is recovered by the banded candidates — minhash 64×16 at
+    J ≥ 0.5 (per-pair miss prob ≈ 2e-9 at the corpus's J ≥ 0.92) and
+    char-feature simhash radius 8 at J ≥ 0.9 (true pairs measure
+    Hamming ≤ 6, margin 2)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    exact5 = jaccard_pairs(docs, "doc_id", "text", 5, "char", 0.5)
+    exact = {(r["id_a"], r["id_b"]) for r in exact5.collect()}
+    sigs = minhash_signatures(docs, "doc_id", "text", 64, 5, "char")
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sigs, "doc_id", 16, 4).collect()
+    }
+    assert exact <= cands, f"minhash banding missed {exact - cands}"
+
+    exact9 = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(docs, "doc_id", "text", 5, "char", 0.9).collect()
+    }
+    sim = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_duplicates(
+            docs, "doc_id", "text", max_hamming=8, feature="char"
+        ).collect()
+    }
+    sim_pairs = {(a, b) for (a, b, _) in sim}
+    assert exact9 <= sim_pairs, f"simhash banding missed {exact9 - sim_pairs}"
+    true_h = [h for (a, b, h) in sim if (a, b) in exact9]
+    assert max(true_h) <= 6, f"margin eroded: hamming {max(true_h)} > 6"
+
+
+def test_simhash_bucket_cap_bounds_hot_bands(spark):
+    """A pathological corpus (one boilerplate text repeated 60×, plus a
+    planted near-dup pair of distinct text) stays bounded under
+    max_bucket_rows: the 60-row hot buckets are pruned (candidates
+    collapse from ~C(60,2) to the planted pair) while pairs colliding
+    in small buckets survive."""
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit " * 5
+    rows = [(i, boiler) for i in range(60)]
+    rows += [
+        (100, "a genuinely unique document about spark adaptive execution"),
+        (101, "a genuinely unique document about spark adaptive executions"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = simhash_near_duplicates(
+        df, "doc_id", "text", max_hamming=3, feature="char"
+    )
+    assert uncapped.count() >= 60 * 59 // 2
+    capped = simhash_near_duplicates(
+        df, "doc_id", "text", max_hamming=3, feature="char", max_bucket_rows=10
+    )
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in got
+    assert not any(a < 100 and b < 100 for a, b in got)
