@@ -499,47 +499,29 @@ def _q_ann_topk_embeddings(spark, sf_dir):
     return top.select("vec_id").orderBy("vec_id")
 
 
-def _q_ivf_exhaustive_topk(spark, sf_dir):
-    """IVF with n_probe = n_cells scans every cell, so the result must
-    equal exact brute-force top-k regardless of where k-means placed
-    the centroids — an end-to-end SQL-oracle check of the IVF plumbing
-    (cell assignment must partition the data: a row lost or duplicated
-    by with_ivf_cell/ivf_topk breaks the equality).  The pruned
-    (n_probe < n_cells) variant stays rows-only with recall tests."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    row = emb.filter(F.col("vec_id") == 0).first()
-    centroids = train_ivf_centroids(emb, "embedding", n_cells=8)
-    celled = with_ivf_cell(emb, "embedding", centroids)
-    return (
-        ivf_topk(
-            celled,
-            "embedding",
-            [float(x) for x in row["embedding"]],
-            centroids,
-            k=10,
-            n_probe=8,
-        )
-        .select("vec_id")
-        .orderBy("vec_id")
-    )
-
-
-def _q_lsh_exhaustive_topk(spark, sf_dir):
-    """Hyperplane-LSH with the probe ring covering the whole bucket
-    space (2 planes → 4 buckets, Hamming-2 multi-probe reaches all of
-    them) must equal exact brute-force top-k — the LSH analog of
-    ivf_exhaustive_topk: bucket assignment + probe enumeration + the
-    scoring path all get a SQL-oracle equality check; the pruned
-    variant stays rows-only with recall tests."""
+def _q_ann_exhaustive_topk(spark, sf_dir):
+    """Exhaustive-probe IVF and LSH unioned under a `method` column
+    (round-4 consolidation of the two separate battery rows): IVF at
+    n_probe = n_cells scans every cell, LSH with the Hamming-2 probe
+    ring over 2 planes reaches all 4 buckets — both must equal exact
+    brute-force top-k regardless of where k-means or the hyperplanes
+    landed.  A row lost or duplicated by cell/bucket assignment, probe
+    enumeration, or the scoring path breaks the equality; pruned
+    variants are checked by lsh_topk/ivf_topk_embeddings (planted
+    recall) below."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     row = emb.filter(F.col("vec_id") == 0).first()
     q = [float(x) for x in row["embedding"]]
-    b = with_lsh_bucket(emb, "embedding", dim=len(q), n_planes=2, seed=42)
-    return (
-        lsh_topk(b, "embedding", q, k=10, n_planes=2, n_probes=4)
-        .select("vec_id")
-        .orderBy("vec_id")
+    centroids = train_ivf_centroids(emb, "embedding", n_cells=8)
+    celled = with_ivf_cell(emb, "embedding", centroids)
+    ivf = ivf_topk(celled, "embedding", q, centroids, k=10, n_probe=8).select(
+        F.lit("ivf").alias("method"), "vec_id"
     )
+    b = with_lsh_bucket(emb, "embedding", dim=len(q), n_planes=2, seed=42)
+    lsh = lsh_topk(b, "embedding", q, k=10, n_planes=2, n_probes=4).select(
+        F.lit("lsh").alias("method"), "vec_id"
+    )
+    return ivf.unionByName(lsh).orderBy("method", "vec_id")
 
 
 def _q_cosine_planted_pairs(spark, sf_dir):
@@ -637,18 +619,36 @@ def _q_simhash_near_dups_documents(spark, sf_dir):
 
 
 def _q_lsh_topk_embeddings(spark, sf_dir):
+    """PRUNED hyperplane-LSH top-k with structurally-guaranteed recall
+    (round-4: promoted from rows-only to a green oracle row): vecs 1-9
+    are replaced by positive scalings (1 + id/10) of vec 0, so their
+    sign bits equal the query's under EVERY hyperplane set — they sit
+    in the query's own bucket, which the multi-probe ring visits first.
+    With n_probes=4 of 2^6 buckets the scan is genuinely pruned (~6%),
+    yet the true top-10 (the 10 cosine-1.0 planted rows; nearest
+    natural vec ≈0.5) provably survives pruning, so exact brute-force
+    cosine in DuckDB reproduces the result — red if bucket assignment,
+    probe enumeration, or scoring drops a guaranteed neighbor."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     row = emb.filter(F.col("vec_id") == 0).first()
-    dim = len(row["embedding"])
-    bucketed = with_lsh_bucket(emb, "embedding", dim, n_planes=6)
-    return lsh_topk(
-        bucketed,
-        "embedding",
-        [float(x) for x in row["embedding"]],
-        k=10,
-        n_planes=6,
-        n_probes=16,
-    ).select("vec_id", F.round("cosine", 4).alias("cosine"))
+    q = [float(x) for x in row["embedding"]]
+    qlit = F.array(*[F.lit(x) for x in q])
+    scale = 1 + F.col("vec_id") / 10.0
+    planted = emb.select(
+        "vec_id",
+        F.when(
+            F.col("vec_id").between(1, 9),
+            F.transform(qlit, lambda x: x * scale),
+        )
+        .otherwise(F.col("embedding").cast("array<double>"))
+        .alias("embedding"),
+    )
+    bucketed = with_lsh_bucket(planted, "embedding", dim=len(q), n_planes=6)
+    return (
+        lsh_topk(bucketed, "embedding", q, k=10, n_planes=6, n_probes=4)
+        .select("vec_id", F.round("cosine", 4).alias("cosine"))
+        .orderBy("vec_id")
+    )
 
 
 def _q_top_events_per_type(spark, sf_dir):
@@ -677,18 +677,32 @@ def _q_distinct_users_per_type(spark, sf_dir):
 
 
 def _q_ivf_topk_embeddings(spark, sf_dir):
+    """PRUNED IVF top-k with structurally-guaranteed recall (round-4:
+    promoted from rows-only to a green oracle row): vecs 1-9 are exact
+    copies of vec 0, so whatever centroids k-means produced they land
+    in the query's own cell (identical vector → identical argmin), and
+    the query's cell is always the first probe.  With n_probe=3 of 8
+    cells the scan is genuinely pruned, yet the true top-10 (the ten
+    cosine-1.0 planted rows) provably survives, so exact brute-force
+    cosine in DuckDB reproduces the result — red if cell assignment,
+    probe ordering, or scoring drops a guaranteed neighbor."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     row = emb.filter(F.col("vec_id") == 0).first()
-    centroids = train_ivf_centroids(emb, "embedding", n_cells=8)
-    celled = with_ivf_cell(emb, "embedding", centroids)
-    return ivf_topk(
-        celled,
-        "embedding",
-        [float(x) for x in row["embedding"]],
-        centroids,
-        k=10,
-        n_probe=3,
-    ).select("vec_id", F.round("cosine", 4).alias("cosine"))
+    q = [float(x) for x in row["embedding"]]
+    qlit = F.array(*[F.lit(x) for x in q])
+    planted = emb.select(
+        "vec_id",
+        F.when(F.col("vec_id").between(1, 9), qlit)
+        .otherwise(F.col("embedding").cast("array<double>"))
+        .alias("embedding"),
+    )
+    centroids = train_ivf_centroids(planted, "embedding", n_cells=8)
+    celled = with_ivf_cell(planted, "embedding", centroids)
+    return (
+        ivf_topk(celled, "embedding", q, centroids, k=10, n_probe=3)
+        .select("vec_id", F.round("cosine", 4).alias("cosine"))
+        .orderBy("vec_id")
+    )
 
 
 def _q_detected_lang_documents(spark, sf_dir):
@@ -788,27 +802,6 @@ def _q_embedding_norm_stats(spark, sf_dir):
 # near-dup oracle coverage (round-3: green CORRECTNESS rows for the LSH
 # paths instead of `no_oracle`)
 # ---------------------------------------------------------------------------
-
-def _q_minhash_verified_pairs(spark, sf_dir):
-    """MinHash+LSH candidates exact-verified by true word Jaccard — the
-    production near-dup pattern (banded candidates → exact verify).  On
-    this slice the banding's recall at J≥0.8 is exactly 1 (deterministic
-    hash family, measured at both SFs), so the verified output equals
-    the exact pair set and the DuckDB word-Jaccard oracle checks the
-    whole pipeline end-to-end (dedup.py: minhash_signatures →
-    lsh_candidate_pairs → exact verification)."""
-    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
-    sigs = minhash_signatures(docs, "doc_id", "text", 64, 1, "word")
-    cands = lsh_candidate_pairs(sigs, "doc_id", n_bands=16, rows_per_band=4)
-    exact = jaccard_pairs(
-        docs, "doc_id", "text", shingle_k=1, mode="word", min_jaccard=0.8
-    )
-    return (
-        cands.join(exact, ["id_a", "id_b"])
-        .select("id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard"))
-        .orderBy("id_a", "id_b")
-    )
-
 
 def _q_simhash_planted_pairs(spark, sf_dir):
     """Planted-duplicate recovery through the banded SimHash pipeline:
@@ -1429,7 +1422,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "annotations_documents": _q_annotations_documents,
         "object_keywords_documents": _q_object_keywords_documents,
         "payload_meta_documents": _q_payload_meta_documents,
-        "minhash_verified_pairs": _q_minhash_verified_pairs,
         "simhash_planted_pairs": _q_simhash_planted_pairs,
         "unevaluated_props_documents": _q_unevaluated_props_documents,
         "cosine_planted_pairs": _q_cosine_planted_pairs,
@@ -1447,8 +1439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams_documents": _q_top_ngrams_documents,
         "schema_contract_documents": _q_schema_contract_documents,
         "contamination_documents": _q_contamination_documents,
-        "ivf_exhaustive_topk": _q_ivf_exhaustive_topk,
-        "lsh_exhaustive_topk": _q_lsh_exhaustive_topk,
+        "ann_exhaustive_topk": _q_ann_exhaustive_topk,
         # rows-only (LSH / pandas-UDF paths; no SQL equivalent)
         "minhash_near_dups_documents": _q_minhash_near_dups_documents,
         "simhash_near_dups_documents": _q_simhash_near_dups_documents,
@@ -1797,8 +1788,8 @@ def oracle_sql() -> dict[str, str]:
             g AS (
               SELECT doc_id, source,
                      len({_WORDS}) AS n,
-                     list_sum(list_transform({_WORDS}, w -> length(w))) * 1.0
-                       / NULLIF(len({_WORDS}), 0) AS mean_len,
+                     COALESCE(list_sum(list_transform({_WORDS}, w -> length(w))) * 1.0
+                       / NULLIF(len({_WORDS}), 0), 0.0) AS mean_len,
                      len(list_filter({_WORDS}, w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
                      len(list_filter({_WORDS}, w -> contains(w, '...'))) AS n_ell,
                      len(list_filter({_WORDS}, w -> list_contains(
@@ -1909,8 +1900,8 @@ def oracle_sql() -> dict[str, str]:
             WITH g AS (
               SELECT source,
                      len({_WORDS}) AS n,
-                     list_sum(list_transform({_WORDS}, w -> length(w))) * 1.0
-                       / NULLIF(len({_WORDS}), 0) AS mean_len,
+                     COALESCE(list_sum(list_transform({_WORDS}, w -> length(w))) * 1.0
+                       / NULLIF(len({_WORDS}), 0), 0.0) AS mean_len,
                      len(list_filter({_WORDS}, w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
                      len(list_filter({_WORDS}, w -> contains(w, '...'))) AS n_ell,
                      len(list_filter({_WORDS}, w -> list_contains(
@@ -1932,27 +1923,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN NOT mean_len_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_mean_len,
                    CAST(SUM(CASE WHEN NOT stop_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stopwords
             FROM f GROUP BY source ORDER BY source
-        """,
-        "minhash_verified_pairs": f"""
-            WITH sh AS (
-              SELECT DISTINCT doc_id, w AS shingle
-              FROM documents,
-                   UNNEST({_WORDS}) AS t(w)
-              WHERE doc_id < 100
-            ),
-            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-            inter AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-              GROUP BY 1, 2
-            )
-            SELECT id_a, id_b,
-                   ROUND(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = id_a
-            JOIN sizes sb ON sb.doc_id = id_b
-            WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.8
-            ORDER BY id_a, id_b
         """,
         "simhash_planted_pairs": """
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -2192,24 +2162,55 @@ def oracle_sql() -> dict[str, str]:
             ) ORDER BY vec_id
         """,
         # exhaustive LSH (probe ring = whole bucket space) == brute force
-        "lsh_exhaustive_topk": """
-            SELECT vec_id FROM (
+        # exhaustive probing (every cell / every bucket) == exact brute
+        # force for BOTH methods, so one brute-force top-k crossed with
+        # the method labels is the oracle
+        "ann_exhaustive_topk": """
+            WITH topk AS (
+              SELECT vec_id FROM (
+                SELECT vec_id,
+                       list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS cosine
+                FROM embeddings
+                ORDER BY cosine DESC, vec_id LIMIT 10
+              )
+            )
+            SELECT m.method, t.vec_id
+            FROM (VALUES ('ivf'), ('lsh')) AS m(method), topk t
+            ORDER BY method, vec_id
+        """,
+        # planted-recall pruned ANN: same derived tables as the Spark
+        # queries (vecs 1-9 = scaled / exact copies of vec 0), exact
+        # brute-force cosine top-10
+        "lsh_topk_embeddings": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings WHERE vec_id = 0),
+            d AS (
               SELECT vec_id,
-                     list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS cosine
-              FROM embeddings
-              ORDER BY cosine DESC, vec_id LIMIT 10
+                     CASE WHEN vec_id BETWEEN 1 AND 9
+                          THEN list_transform((SELECT v FROM q),
+                                              x -> x * (1 + vec_id / 10.0))
+                          ELSE CAST(embedding AS DOUBLE[]) END AS e
+              FROM embeddings)
+            SELECT vec_id, ROUND(cos, 4) AS cosine FROM (
+              SELECT vec_id,
+                     list_cosine_similarity(e, (SELECT v FROM q)) AS cos
+              FROM d ORDER BY cos DESC, vec_id LIMIT 10
             ) ORDER BY vec_id
         """,
-        # exhaustive IVF (n_probe = n_cells) == exact brute force, so
-        # the ann_topk oracle applies verbatim
-        "ivf_exhaustive_topk": """
-            SELECT vec_id FROM (
+        "ivf_topk_embeddings": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings WHERE vec_id = 0),
+            d AS (
               SELECT vec_id,
-                     list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS cosine
-              FROM embeddings
-              ORDER BY cosine DESC, vec_id LIMIT 10
+                     CASE WHEN vec_id BETWEEN 1 AND 9
+                          THEN (SELECT v FROM q)
+                          ELSE CAST(embedding AS DOUBLE[]) END AS e
+              FROM embeddings)
+            SELECT vec_id, ROUND(cos, 4) AS cosine FROM (
+              SELECT vec_id,
+                     list_cosine_similarity(e, (SELECT v FROM q)) AS cos
+              FROM d ORDER BY cos DESC, vec_id LIMIT 10
             ) ORDER BY vec_id
         """,
         # n/lo/hi come out of the digest row itself (exact by

@@ -249,24 +249,38 @@ class ValidationEngine:
                     chk["column"], chk["lo"], chk["hi"], chk.get("buckets", 20)
                 )
                 cur = collect_histogram(src, hspec, chk.get("group_by"))
-                snap = (snapshot or {}).get(chk.get("id"), cur)
+                snap = (snapshot or {}).get(chk.get("id"))
                 th = DriftThresholds(
                     psi_warn=chk.get("psi_warn", 0.1),
                     psi_fail=chk.get("psi_fail", 0.25),
                     ks_fail=chk.get("ks_fail", 0.2),
                 )
-                for v in drift_verdicts(cur, snap, th):
-                    v["check_id"] = chk.get("id")
-                    drift_out.append(v)
+                if snap is None:
+                    # no baseline entry → explicit status, never a
+                    # self-compare 'pass' (round-3 ADVICE, applied to
+                    # every drift kind)
+                    drift_out.append(
+                        {"group": None, "psi": None, "ks": None,
+                         "status": "missing_snapshot",
+                         "check_id": chk.get("id")}
+                    )
+                else:
+                    for v in drift_verdicts(cur, snap, th):
+                        v["check_id"] = chk.get("id")
+                        drift_out.append(v)
             elif kind == "quantile_drift":
                 expr = chk.get("expr")
                 src = df.withColumn(chk["column"], F.expr(expr)) if expr else df
                 probs = chk.get("probs", [0.25, 0.5, 0.75, 0.9, 0.99])
                 cur_q = collect_quantiles(src, chk["column"], probs)
-                snap_q = (snapshot or {}).get(chk.get("id"), cur_q)
-                v = quantile_drift_verdict(
-                    cur_q, snap_q, chk.get("rel_tolerance", 0.1)
-                )
+                snap_q = (snapshot or {}).get(chk.get("id"))
+                if snap_q is None:
+                    v = {"group": None, "psi": None, "ks": None,
+                         "status": "missing_snapshot"}
+                else:
+                    v = quantile_drift_verdict(
+                        cur_q, snap_q, chk.get("rel_tolerance", 0.1)
+                    )
                 v["check_id"] = chk.get("id")
                 v["quantiles"] = cur_q
                 drift_out.append(v)
@@ -281,9 +295,15 @@ class ValidationEngine:
                 cur = _digest_dict(
                     tdigest_sketch(src, chk["column"], chk.get("delta", 200.0)).first()
                 )
-                snap = (snapshot or {}).get(chk.get("id"), cur)
+                snap = (snapshot or {}).get(chk.get("id"))
                 ks_fail = chk.get("ks_fail", 0.2)
-                if cur["n"] == 0 or snap["n"] == 0:
+                if snap is None:
+                    # a typo'd check id or an absent baseline must NOT
+                    # self-compare into a silent KS=0 'pass' (round-3
+                    # ADVICE): report the missing baseline explicitly
+                    v = {"group": None, "psi": None, "ks": None,
+                         "status": "missing_snapshot"}
+                elif cur["n"] == 0 or snap["n"] == 0:
                     v = {"group": None, "psi": None, "ks": None,
                          "status": "missing_current" if cur["n"] == 0 else "missing_snapshot"}
                 else:

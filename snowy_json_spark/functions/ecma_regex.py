@@ -15,6 +15,22 @@ this module re-implements the same *semantics* in Python (fresh code):
   class (Java's ``\\s`` is ASCII-only by default).
 - ``\\d`` ``\\w`` ``\\D`` ``\\W`` are identical (ASCII) in both dialects —
   passed through.
+- ``\\cX`` with a lower-case letter is upper-cased (ECMA allows both
+  forms, Java only the upper-case one).
+- ``\\v`` → ``\\u000B``: ECMA ``\\v`` is exactly the vertical tab; Java 8+
+  ``\\v`` is the whole vertical-whitespace CLASS [\\n\\x0B\\f\\r…] — a
+  silent false-positive source if passed through.
+- ``\\0`` → ``\\u0000``; a following decimal digit is an ECMA syntax
+  error (legal-but-different in Java) and raises.
+- any other escaped ID_Continue character (``\\a``, ``\\e``, ``\\_``, …)
+  is an ECMA IdentityEscape violation and raises — Java would accept
+  several of these with DIFFERENT meanings (``\\a`` = BEL, ``\\e`` = ESC),
+  so passing them through would validate wrongly rather than loudly.
+
+Divergence from the reference, on purpose: translation is character-
+class aware (``$`` inside ``[...]`` stays a literal dollar; the
+reference mangles it to ``\\z`` inside classes too, a latent bug we do
+not reproduce).
 
 Matching is **substring find**, not full match — the reference matches
 with ``Matcher.find()`` (`keywords/Pattern.java:66`) and ``rlike`` has
@@ -30,9 +46,26 @@ _ECMA_WS = "\\t\\n\\x0B\\f\\r \\u00a0\\u1680\\u2000-\\u200a\\u2028\\u2029\\u202f
 _ECMA_S = f"[{_ECMA_WS}]"
 _ECMA_NOT_S = f"[^{_ECMA_WS}]"
 
+# Escapes with identical meaning in both dialects: assertions/backrefs
+# (b B 1-9 k), class escapes (d D w W p P), control escapes (f n r t),
+# hex/unicode prefixes (x u), and escaped syntax characters.
+_PASSTHROUGH = set("bB123456789dDwWpPfnrtxuk/^$\\.*+?()[]{}|-")
+
+
+def _is_id_continue(c: str) -> bool:
+    """Unicode ID_Continue approximation via Python's identifier rules
+    (XID_Continue — the same set for every character that can appear in
+    a regex escape here)."""
+    return ("_" + c).isidentifier()
+
 
 def translate(pattern: str) -> str:
-    """Translate an ECMA-262 regex into an equivalent Java regex string."""
+    """Translate an ECMA-262 regex into an equivalent Java regex string.
+
+    Raises :class:`re.error` on constructs that are syntax errors in
+    ECMA-262 even though Java would accept them (``\\0<digit>``,
+    escaped ID_Continue identity escapes).
+    """
     out: list[str] = []
     in_class = False
     i = 0
@@ -49,7 +82,40 @@ def translate(pattern: str) -> str:
                     out.append("\\S")
                 else:
                     out.append(_ECMA_NOT_S)
+            elif nxt == "c":
+                # ECMA allows \c with either case; Java only upper
+                if i + 2 < n and "a" <= pattern[i + 2] <= "z":
+                    out.append("\\c" + pattern[i + 2].upper())
+                    i += 3
+                    continue
+                out.append("\\c")
+                if i + 2 < n:
+                    out.append(pattern[i + 2])
+                    i += 3
+                    continue
+            elif nxt == "v":
+                out.append("\\u000B")
+            elif nxt == "0":
+                if i + 2 < n and pattern[i + 2].isdigit():
+                    raise re.error(
+                        "ECMA-262: \\0 cannot be followed by a decimal digit",
+                        pattern,
+                        i,
+                    )
+                out.append("\\u0000")
+            elif nxt in _PASSTHROUGH:
+                out.append(c)
+                out.append(nxt)
+            elif _is_id_continue(nxt):
+                raise re.error(
+                    f"ECMA-262: \\{nxt} is not a valid escape "
+                    "(ID_Continue identity escapes are disallowed)",
+                    pattern,
+                    i,
+                )
             else:
+                # identity escape of a non-identifier character — safe
+                # to keep escaped in Java
                 out.append(c)
                 out.append(nxt)
             i += 2
@@ -74,9 +140,17 @@ def compile_python(pattern: str) -> re.Pattern:
     """Compile the ECMA pattern for Python-side (pandas UDF) matching.
 
     Python ``re`` ``$`` also matches before a trailing newline; use
-    ``\\Z`` for end-of-input, mirroring :func:`translate`.
+    ``\\Z`` for end-of-input, mirroring :func:`translate`.  Python has
+    no ``\\cX`` control escape (Java does), so translated control
+    escapes are lowered to their literal code points (X mod 32).
     """
-    return re.compile(translate(pattern).replace("\\z", "\\Z"))
+    java = translate(pattern).replace("\\z", "\\Z")
+    java = re.sub(
+        r"\\c([A-Za-z])",
+        lambda m: "\\x%02x" % (ord(m.group(1)) % 32),
+        java,
+    )
+    return re.compile(java)
 
 
 def is_valid_ecma(pattern: str) -> bool:

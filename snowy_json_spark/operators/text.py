@@ -202,6 +202,18 @@ def gopher_flags(
         n > 0, n_ellipsis / n <= F.lit(max_ellipsis_word_ratio)
     ).otherwise(F.lit(True))
     stop_ok = n_stop >= F.lit(min_stopword_hits)
+    # NULL text must yield false flags (and keep=false), not NULLs:
+    # a NULL keep poisons downstream `~keep` filters and curate's
+    # drop_reason (round-3 ADVICE) — a null/empty document is a
+    # quality FAILURE, not an unknown
+    def _f(flag: Column) -> Column:
+        return F.coalesce(flag, F.lit(False))
+
+    word_count_ok = _f(word_count_ok)
+    mean_len_ok = _f(mean_len_ok)
+    alpha_ok = _f(alpha_ok)
+    ellipsis_ok = F.when(col.isNull(), F.lit(False)).otherwise(ellipsis_ok)
+    stop_ok = _f(stop_ok)
     return F.struct(
         word_count_ok.alias("word_count_ok"),
         mean_len_ok.alias("mean_word_len_ok"),
@@ -232,15 +244,22 @@ def frequent_lines(
     text_col: str,
     min_doc_frequency: int,
     min_line_chars: int = 5,
+    id_col: str | None = None,
 ) -> DataFrame:
     """(line, doc_frequency) for normalized lines appearing in ≥
     ``min_doc_frequency`` DISTINCT documents.  One explode + one
     partial-agg shuffle keyed on the line hash; lines shorter than
     ``min_line_chars`` are ignored (single words repeat naturally).
     Output size ∝ distinct frequent lines — at corpus scale this is the
-    small side of the removal join and broadcastable."""
+    small side of the removal join and broadcastable.  Pass ``id_col``
+    (a real document key, e.g. url) when available; the
+    ``monotonically_increasing_id`` fallback is single-evaluation
+    consistent but not stable across plan re-evaluation."""
+    doc_key = (
+        F.col(id_col) if id_col is not None else F.monotonically_increasing_id()
+    )
     lines = df.select(
-        F.monotonically_increasing_id().alias("_doc"),
+        doc_key.alias("_doc"),
         F.explode(F.split(F.col(text_col), "\n")).alias("_raw"),
     ).select("_doc", F.trim(F.col("_raw")).alias("line"))
     return (
@@ -257,6 +276,7 @@ def remove_boilerplate_lines(
     min_doc_frequency: int,
     out_col: str | None = None,
     min_line_chars: int = 5,
+    id_col: str | None = None,
 ) -> DataFrame:
     """Rewrite ``text_col`` with corpus-frequent lines removed, original
     order preserved (CCNet-style boilerplate stripping).
@@ -266,15 +286,27 @@ def remove_boilerplate_lines(
     anti-join the frequent set, re-assemble with ``array_join`` after a
     ``sort_array`` on (doc, position).  No Python in the loop.
 
-    Caveat: documents are keyed with ``monotonically_increasing_id``,
-    which is only stable when the input plan is deterministic (a plain
-    file scan).  For shuffled/sampled/non-deterministic inputs, add a
-    real id column upstream and the explode/reassemble pair stays
-    consistent automatically (ids are assigned once, before the two
-    consumers fork)."""
+    Document keying: the keyed frame is consumed by TWO subplans (the
+    explode/rebuild and the final join), so the key must evaluate
+    identically in both.  Pass ``id_col`` (a real unique key — url,
+    doc_id) and the two consumers join on it directly.  Without one,
+    documents are keyed with ``monotonically_increasing_id`` and the
+    keyed frame is ``localCheckpoint``-ed first: Spark may otherwise
+    re-evaluate the nondeterministic id independently per subtree and
+    silently attach rebuilt text to the wrong document on
+    shuffled/sampled inputs.  The checkpoint materializes the input
+    once (executor-local storage) — fine at test scale, but at corpus
+    scale prefer ``id_col``."""
     out_col = out_col or text_col
-    freq = F.broadcast(frequent_lines(df, text_col, min_doc_frequency, min_line_chars))
-    with_id = df.withColumn("_rbid", F.monotonically_increasing_id())
+    freq = F.broadcast(
+        frequent_lines(df, text_col, min_doc_frequency, min_line_chars, id_col)
+    )
+    if id_col is not None:
+        with_id = df.withColumn("_rbid", F.col(id_col))
+    else:
+        with_id = df.withColumn(
+            "_rbid", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=False)
     lines = with_id.select(
         "_rbid",
         F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_raw"),

@@ -27,8 +27,13 @@ from pyspark.sql import functions as F
 
 #: query parameter KEYS that never affect content identity (exact
 #: match, except the utm_ family which matches by prefix — a bare
-#: prefix match would wrongly drop e.g. refresh=1 under "ref")
-TRACKING_KEYS = ("fbclid", "gclid", "msclkid", "ref")
+#: prefix match would wrongly drop e.g. refresh=1 under "fbclid").
+#: Deliberately NOT included: "ref" — unlike the ad-click ids it is
+#: content-significant on real sites (VCS web UIs use ?ref=<branch>,
+#: CMSs use ?ref=<page>), so dropping it over-merges distinct pages
+#: (round-3 ADVICE).  Callers who know their corpus can extend the
+#: list via the ``tracking_keys`` parameter on the functions below.
+TRACKING_KEYS = ("fbclid", "gclid", "msclkid")
 TRACKING_PREFIXES = ("utm_",)
 
 
@@ -37,7 +42,11 @@ def url_host(col: Column) -> Column:
     return F.lower(F.try_parse_url(col, F.lit("HOST")))
 
 
-def _clean_query(col: Column) -> Column:
+def _clean_query(
+    col: Column,
+    tracking_keys: tuple[str, ...] = TRACKING_KEYS,
+    tracking_prefixes: tuple[str, ...] = TRACKING_PREFIXES,
+) -> Column:
     """Sorted '&'-joined query with tracking params removed; null when
     nothing survives."""
     q = F.try_parse_url(col, F.lit("QUERY"))
@@ -45,10 +54,10 @@ def _clean_query(col: Column) -> Column:
     def is_tracking(p: Column) -> Column:
         key = F.substring_index(p, "=", 1)
         exact = F.array_contains(
-            F.array(*[F.lit(k) for k in TRACKING_KEYS]), key
+            F.array(*[F.lit(k) for k in tracking_keys]), key
         )
         pref = F.exists(
-            F.array(*[F.lit(t) for t in TRACKING_PREFIXES]),
+            F.array(*[F.lit(t) for t in tracking_prefixes]),
             lambda t: key.startswith(t),
         )
         return exact | pref
@@ -58,10 +67,17 @@ def _clean_query(col: Column) -> Column:
     return F.when(joined != "", joined)
 
 
-def canonicalize_url(col: Column) -> Column:
+def canonicalize_url(
+    col: Column,
+    tracking_keys: tuple[str, ...] = TRACKING_KEYS,
+    tracking_prefixes: tuple[str, ...] = TRACKING_PREFIXES,
+) -> Column:
     """Canonical form of an http(s) URL (see module docstring); null
     passes through as null, non-URL strings yield null host and are
-    left to the caller's validity checks."""
+    left to the caller's validity checks.  ``tracking_keys`` /
+    ``tracking_prefixes`` let a caller opt in to corpus-specific
+    parameters (e.g. add "ref" back for corpora where it IS a
+    tracker)."""
     scheme = F.lower(F.try_parse_url(col, F.lit("PROTOCOL")))
     host = url_host(col)
     # parse_url HOST strips any port; recover NON-default ports from the
@@ -76,7 +92,7 @@ def canonicalize_url(col: Column) -> Column:
     ).otherwise(F.lit(""))
     path = F.try_parse_url(col, F.lit("PATH"))
     path = F.when((path.isNull()) | (path == ""), F.lit("/")).otherwise(path)
-    q = _clean_query(col)
+    q = _clean_query(col, tracking_keys, tracking_prefixes)
     base = F.concat(scheme, F.lit("://"), host, port_part, path)
     return F.when(
         col.isNotNull() & scheme.isNotNull() & host.isNotNull(),

@@ -96,8 +96,9 @@ def test_engine_full_run(spark, pages):
     t_cids = {r["constraint_id"] for r in tv}
     assert "#/x-table-checks/url_unique" in t_cids
     assert "#/x-table-checks/lang_valid" in t_cids
-    # drift vs itself (no snapshot → compared to current) = all pass
-    assert all(d["status"] == "pass" for d in res.drift)
+    # no baseline snapshot → every drift check reports the missing
+    # baseline explicitly instead of self-comparing into a pass
+    assert res.drift and all(d["status"] == "missing_snapshot" for d in res.drift)
 
 
 def test_resume_skips_validated_partitions(spark, pages, tmp_path):

@@ -77,8 +77,22 @@ def test_single_pass_projects_tdigest_input(spark, tmp_path):
 
 
 def test_missing_column_values(spark):
+    """All-null current column with a VALID baseline → missing_current."""
     eng = _engine(CHECKS)
+    snap = eng.collect_snapshot(_df(spark, seed=5))
     df = spark.createDataFrame([(1, None), (2, None)], "id long, x double")
-    res = eng.run(df, snapshot={})
+    res = eng.run(df, snapshot=snap)
     d = [v for v in res.drift if v["check_id"] == "x_tdigest"]
     assert d[0]["status"] == "missing_current"
+
+
+def test_absent_snapshot_entry_is_not_a_pass(spark):
+    """No baseline entry (typo'd id / empty snapshot) must surface as
+    missing_snapshot, never a silent KS=0 self-compare pass (round-3
+    ADVICE)."""
+    eng = _engine(CHECKS)
+    for snapshot in ({}, None, {"wrong_id": {"n": 5}}):
+        res = eng.run(_df(spark, n=2_000), snapshot=snapshot)
+        d = [v for v in res.drift if v["check_id"] == "x_tdigest"]
+        assert d[0]["status"] == "missing_snapshot"
+        assert d[0]["ks"] is None

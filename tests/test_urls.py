@@ -43,11 +43,23 @@ def test_tracking_params_dropped_and_query_sorted(spark):
     assert canon(spark, "https://a.com/p?b=2&a=1") == "https://a.com/p?a=1&b=2"
     # all params tracking → no query at all
     assert canon(spark, "https://a.com/p?utm_campaign=z&gclid=1") == "https://a.com/p"
-    # key match is exact: refresh is NOT the tracking key "ref"
+    # "ref" is content-significant (VCS branches, CMS pages) and is
+    # KEPT by default (round-3 ADVICE); callers can opt in per corpus
     assert (
         canon(spark, "https://a.com/p?refresh=1&ref=tw")
-        == "https://a.com/p?refresh=1"
+        == "https://a.com/p?ref=tw&refresh=1"
     )
+    from pyspark.sql import functions as F
+
+    from snowy_json_spark.operators.urls import TRACKING_KEYS, canonicalize_url
+
+    df = spark.createDataFrame([("https://a.com/p?refresh=1&ref=tw",)], "url string")
+    got = df.select(
+        canonicalize_url(
+            F.col("url"), tracking_keys=TRACKING_KEYS + ("ref",)
+        ).alias("c")
+    ).first()["c"]
+    assert got == "https://a.com/p?refresh=1"
 
 
 def test_non_url_yields_null(spark):
