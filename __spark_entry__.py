@@ -984,22 +984,31 @@ def _q_contamination_documents(spark, sf_dir):
     trigram overlap), others carry only organic overlap (none, in this
     synthetic corpus — the oracle computes it rather than assuming).
     The oracle uses the SAME trigram list built by the same helper, so
-    the sides cannot drift."""
-    from snowy_json_spark.operators.text import contamination_flags
+    the sides cannot drift.  Routed through contamination_counts (the
+    DataFrame operator with the literal↔broadcast-join auto-switch);
+    at this benchmark size auto picks the literal plan — the join
+    path's count parity is pinned by test_similarity_text_multimodal."""
+    from snowy_json_spark.operators.text import contamination_counts
 
     docs = _docs(spark, sf_dir)
     planted = F.when(
         F.col("doc_id") % 4 == 0,
         F.concat(F.col("text"), F.lit(" " + _BENCH_TEXTS[0])),
     ).otherwise(F.col("text"))
-    g = contamination_flags(planted, _BENCH_TEXTS, n=3, min_overlap=1)
+    flagged = contamination_counts(
+        docs.withColumn("_ptext", planted),
+        "doc_id",
+        "_ptext",
+        _BENCH_TEXTS,
+        n=3,
+        min_overlap=1,
+    )
     return (
-        docs.select("source", g.alias("g"))
-        .groupBy("source")
+        flagged.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.col("g.contaminated").cast("long")).alias("n_contaminated"),
-            F.sum(F.col("g.n_overlap").cast("long")).alias("total_overlap"),
+            F.sum(F.col("contaminated").cast("long")).alias("n_contaminated"),
+            F.sum(F.col("n_overlap").cast("long")).alias("total_overlap"),
         )
         .orderBy("source")
     )

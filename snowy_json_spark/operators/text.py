@@ -478,6 +478,31 @@ def top_ngrams(
     )
 
 
+def benchmark_ngrams(benchmark_texts: list[str], n: int = 3) -> set[str]:
+    """Distinct word n-grams of the benchmark texts, normalized with the
+    same lowercase/whitespace-collapse convention as :func:`words`."""
+    bench: set[str] = set()
+    for t in benchmark_texts:
+        ws = [w for w in " ".join(t.lower().split()).split(" ") if w]
+        bench.update(
+            " ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
+        )
+    return bench
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """Array of word n-grams (space-joined) of a text column."""
+    ws = words(col)
+    size = F.size(ws)
+    return F.when(
+        size >= n,
+        F.transform(
+            F.sequence(F.lit(1), size - n + 1),
+            lambda i: F.array_join(F.slice(ws, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def contamination_flags(
     col: Column,
     benchmark_texts: list[str],
@@ -492,26 +517,77 @@ def contamination_flags(
     into ONE literal array and matched with ``array_intersect`` against
     each document's n-gram array: fully JVM-side, broadcast-by-literal,
     no join, no shuffle.  For benchmark sets too large for a literal
-    (>~10^4 n-grams), switch to a broadcast semi-join on an exploded
-    n-gram table — same counts, one extra shuffle-free join."""
-    bench: set[str] = set()
-    for t in benchmark_texts:
-        ws = [w for w in " ".join(t.lower().split()).split(" ") if w]
-        bench.update(
-            " ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
-        )
+    the PLAN itself grows with the set — use
+    :func:`contamination_counts`, which auto-switches to a broadcast
+    join above :data:`CONTAMINATION_LITERAL_MAX` n-grams."""
+    bench = benchmark_ngrams(benchmark_texts, n)
     bench_arr = F.array(*[F.lit(g) for g in sorted(bench)])
-    ws = words(col)
-    size = F.size(ws)
-    grams = F.when(
-        size >= n,
-        F.transform(
-            F.sequence(F.lit(1), size - n + 1),
-            lambda i: F.array_join(F.slice(ws, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = word_ngrams(col, n)
     n_overlap = F.size(F.array_intersect(F.array_distinct(grams), bench_arr))
     return F.struct(
+        n_overlap.alias("n_overlap"),
+        (n_overlap >= F.lit(min_overlap)).alias("contaminated"),
+    )
+
+
+#: above this benchmark n-gram count the literal-array plan (one string
+#: literal per n-gram, serialized into every task) stops being free;
+#: contamination_counts switches to a broadcast hash join whose plan
+#: size is O(1) in the benchmark size
+CONTAMINATION_LITERAL_MAX = 10_000
+
+
+def contamination_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    benchmark_texts: list[str],
+    n: int = 3,
+    min_overlap: int = 1,
+    impl: str = "auto",
+) -> DataFrame:
+    """Input columns + (n_overlap, contaminated) per document — the
+    DataFrame-level decontamination operator.
+
+    ``auto`` picks the physical strategy from the benchmark size
+    (round-3 perf_weak fix):
+
+    - ``literal`` (≤ :data:`CONTAMINATION_LITERAL_MAX` distinct
+      n-grams): the :func:`contamination_flags` array_intersect plan —
+      zero joins, zero shuffle.
+    - ``join``: benchmark n-grams become a broadcast DataFrame; the
+      documents' DISTINCT n-grams explode and inner-join it (broadcast
+      hash join — no shuffle of the big side), count per document, and
+      left-join back on ``id_col``.  Plan size stays O(1) however large
+      the eval suite is; the exploded side is rows × n-grams but is
+      filtered by the join before the (id-keyed, AQE-coalesced)
+      count aggregation."""
+    bench = benchmark_ngrams(benchmark_texts, n)
+    if impl == "auto":
+        impl = "literal" if len(bench) <= CONTAMINATION_LITERAL_MAX else "join"
+    if impl == "literal":
+        g = contamination_flags(F.col(text_col), benchmark_texts, n, min_overlap)
+        return df.withColumns(
+            {"n_overlap": g["n_overlap"], "contaminated": g["contaminated"]}
+        )
+    spark = df.sparkSession
+    bench_df = F.broadcast(
+        spark.createDataFrame([(g,) for g in sorted(bench)], "ngram string")
+    )
+    exploded = df.select(
+        F.col(id_col).alias("_cid"),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("ngram"),
+    )
+    counts = (
+        exploded.join(bench_df, "ngram")
+        .groupBy("_cid")
+        .agg(F.count(F.lit(1)).alias("_n_overlap"))
+    )
+    out = df.join(counts, df[id_col] == counts["_cid"], "left")
+    n_overlap = F.coalesce(F.col("_n_overlap"), F.lit(0)).cast("int")
+    # NULL text carries no n-grams → overlap 0, like the literal path
+    return out.select(
+        *[df[c] for c in df.columns],
         n_overlap.alias("n_overlap"),
         (n_overlap >= F.lit(min_overlap)).alias("contaminated"),
     )

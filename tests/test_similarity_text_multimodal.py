@@ -354,3 +354,62 @@ def test_contamination_flags(spark):
     assert got[1]["contaminated"]
     assert not got[2]["contaminated"] and got[2]["n_overlap"] == 0
     assert not got[3]["contaminated"]
+
+
+def test_contamination_counts_join_matches_literal(spark):
+    """The broadcast-join path must produce identical (n_overlap,
+    contaminated) to the literal-array path on the same corpus."""
+    from snowy_json_spark.operators.text import contamination_counts
+
+    bench = ["the quick brown fox jumps", "paris is the capital of france"]
+    rows = [
+        (0, "we saw the quick brown fox jumps over things"),
+        (1, "everyone knows paris is the capital of france obviously"),
+        (2, "completely unrelated text about gardening and tools"),
+        (3, "quick brown dogs"),
+        (4, None),  # NULL text → overlap 0 on both paths
+        (5, "the quick brown fox jumps the quick brown fox jumps"),  # dup grams
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    lit = {
+        r["id"]: (r["n_overlap"], r["contaminated"])
+        for r in contamination_counts(df, "id", "t", bench, impl="literal").collect()
+    }
+    join = {
+        r["id"]: (r["n_overlap"], r["contaminated"])
+        for r in contamination_counts(df, "id", "t", bench, impl="join").collect()
+    }
+    assert lit == join
+    assert lit[0] == (3, True)
+    assert lit[4] == (0, False)
+    assert lit[5] == (3, True)  # distinct grams counted once
+
+
+def test_contamination_auto_switch_bounds_plan_size(spark):
+    """At 10^5 benchmark n-grams, auto must select the broadcast join
+    and keep the serialized plan O(1) in the benchmark size (the
+    literal path embeds every n-gram into the plan — round-3
+    perf_weak)."""
+    from snowy_json_spark.operators.text import (
+        CONTAMINATION_LITERAL_MAX,
+        contamination_counts,
+    )
+
+    big_bench = [
+        " ".join(f"tok{i} tok{i+1} tok{i+2}" for i in range(j, 100_000, 1000))
+        for j in range(1000)
+    ]
+    from snowy_json_spark.operators.text import benchmark_ngrams
+
+    n_grams = len(benchmark_ngrams(big_bench, 3))
+    assert n_grams > CONTAMINATION_LITERAL_MAX
+
+    df = spark.createDataFrame(
+        [(0, "tok5 tok6 tok7 appears here"), (1, "nothing shared at all")],
+        "id long, t string",
+    )
+    out = contamination_counts(df, "id", "t", big_bench, impl="auto")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan) < 200_000, f"plan grew with the benchmark: {len(plan)} chars"
+    got = {r["id"]: r["contaminated"] for r in out.collect()}
+    assert got[0] and not got[1]
