@@ -284,13 +284,60 @@ def _is_uri_template(v: str) -> bool:
     return True
 
 
+def _idn_label_ok(label: str) -> bool:
+    """RFC 5891 §4.2.3 label checks for the no-idna fallback path:
+    length, hyphen placement (§4.2.3.1 — no '--' in positions 3-4
+    except a decodable A-label), no leading combining mark (§4.2.3.2),
+    and A-label (xn--) punycode decode + re-encode roundtrip."""
+    import unicodedata
+
+    if not label:
+        return False
+    if label.startswith("-") or label.endswith("-"):
+        return False
+    if any(ch.isspace() or ch in "\x00/\\@#?" for ch in label):
+        return False
+    # leading combining mark (Mn/Mc/Me) is disallowed
+    if unicodedata.category(label[0]) in ("Mn", "Mc", "Me"):
+        return False
+    lower = label.lower()
+    if lower.startswith("xn--"):
+        # A-label: must be pure ASCII, ≤63 octets, and decode to a
+        # non-ASCII U-label that itself passes the label rules and
+        # re-encodes to the same ACE form (roundtrip)
+        if len(label) > 63 or not label.isascii():
+            return False
+        try:
+            decoded = lower[4:].encode("ascii").decode("punycode")
+        except (UnicodeError, UnicodeDecodeError):
+            return False
+        if not decoded or decoded.isascii():
+            return False
+        try:
+            if decoded.encode("punycode").decode("ascii").lower() != lower[4:]:
+                return False
+        except UnicodeError:
+            return False
+        return _idn_label_ok(decoded)
+    # hyphen-34 rule: '--' in the 3rd and 4th position is reserved for
+    # A-labels only
+    if len(label) >= 4 and label[2:4] == "--":
+        return False
+    if len(label.encode("utf-8", "ignore")) > 63:
+        return False
+    return True
+
+
 def _is_idn_hostname(v: str) -> bool:
     """IDN hostname check.
 
     The reference uses ICU4J A-label/U-label rules
     (net/Hostname.java:87-206). The `idna` package is the Python
-    equivalent; when unavailable we fall back to a pragmatic check
-    (documented approximation)."""
+    equivalent; without it the fallback enforces the RFC 5891 label
+    rules (length, hyphen-34, leading-combining-mark, xn-- punycode
+    roundtrip) — still a documented approximation: CONTEXTO/CONTEXTJ
+    rules (middle dot, Greek keraia, Hebrew geresh, ZWJ/ZWNJ) and the
+    Bidi rule need the full IDNA tables."""
     try:
         import idna  # type: ignore
 
@@ -303,14 +350,7 @@ def _is_idn_hostname(v: str) -> bool:
         pass
     if not v or len(v.encode("utf-8", "ignore")) > 253:
         return False
-    for label in v.split("."):
-        if not label or len(label.encode("utf-8", "ignore")) > 63:
-            return False
-        if label.startswith("-") or label.endswith("-"):
-            return False
-        if any(ch.isspace() or ch in "\x00/\\@#?" for ch in label):
-            return False
-    return True
+    return all(_idn_label_ok(label) for label in v.split("."))
 
 
 # --------------------------------------------------------------------------

@@ -186,3 +186,77 @@ def test_content_media_type_syntax_and_draft_gating(spark):
         {"properties": {"s": {"contentMediaType": "not a media type"}}}, df.schema
     )
     assert with_verdict(df, plan).collect()[0]["passed"] is True
+
+
+# ---------------------------------------------------------------------------
+# official optional/format/idn-hostname.json cases (authored from the
+# public suite's well-known cases), run against BOTH the idna path and
+# the RFC 5891 fallback (round-4: strict no-idna label rules)
+# ---------------------------------------------------------------------------
+
+# (value, valid, fallback_can_judge) — cases needing the full IDNA
+# CONTEXTO/Bidi tables are marked False and only asserted on the idna
+# path (the fallback is a documented approximation there)
+IDN_HOSTNAME_OFFICIAL = [
+    ("실례.테스트", True, True),          # 실례.테스트
+    ("xn--ihqwcrb4cv8a8dqg056pqjye", True, True),             # valid Chinese A-label
+    ("-> $1.00 <--", False, True),                            # illegal chars
+    ("xn--X", False, True),                                   # invalid punycode
+    ("XN--aa---o47jg78q", False, True),                       # U-label with '--' in 3-4
+    ("-hello", False, True),                                  # leading dash
+    ("hello-", False, True),                                  # trailing dash
+    ("-hello-", False, True),
+    ("ःhello", False, True),                             # leading Spacing Combining Mark
+    ("̀hello", False, True),                             # leading Nonspacing Mark
+    ("҈hello", False, True),                             # leading Enclosing Mark
+    ("hel-lo", True, True),                                   # interior dash fine
+    ("ab--cd", False, True),                                  # hyphen-34 rule
+    ("a.b.c", True, True),
+    ("", False, True),
+]
+
+
+def _fallback_is_idn_hostname(v):
+    """Run _is_idn_hostname with the idna package masked out."""
+    import builtins
+    import sys
+
+    from snowy_json_spark.functions import formats
+
+    real_import = builtins.__import__
+
+    def no_idna(name, *a, **k):
+        if name == "idna":
+            raise ImportError("masked for fallback test")
+        return real_import(name, *a, **k)
+
+    saved = sys.modules.pop("idna", None)
+    builtins.__import__ = no_idna
+    try:
+        return formats._is_idn_hostname(v)
+    finally:
+        builtins.__import__ = real_import
+        if saved is not None:
+            sys.modules["idna"] = saved
+
+
+def test_idn_hostname_official_idna_path():
+    from snowy_json_spark.functions.formats import _is_idn_hostname
+
+    for v, valid, _ in IDN_HOSTNAME_OFFICIAL:
+        assert _is_idn_hostname(v) is valid, f"idna path: {v!r}"
+
+
+def test_idn_hostname_official_fallback_path():
+    for v, valid, judgeable in IDN_HOSTNAME_OFFICIAL:
+        if not judgeable:
+            continue
+        assert _fallback_is_idn_hostname(v) is valid, f"fallback: {v!r}"
+
+
+def test_idn_hostname_fallback_punycode_roundtrip():
+    # A-label whose ACE form decodes but does not roundtrip (mixed
+    # case / non-canonical) must be rejected by the fallback
+    assert _fallback_is_idn_hostname("xn--bcher-kva.example")  # bücher
+    assert not _fallback_is_idn_hostname("xn--")               # empty U-label
+    assert not _fallback_is_idn_hostname("xn--ascii-only-")    # trailing dash
