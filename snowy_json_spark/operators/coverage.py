@@ -55,3 +55,58 @@ def unexercised_constraints(
     return [
         r["constraint_id"] for r in rep.filter(F.col("n_violations") == 0).collect()
     ]
+
+
+def schema_instance_paths(schema) -> list[str]:
+    """Every instance path the TABLE SCHEMA can produce, in the
+    compiler's path convention: '' for the root row, '/col' per field,
+    '/col/*' for array elements / map values, recursing through nested
+    structs.  Pure metadata — no data is read."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    out: list[str] = [""]
+
+    def walk(dt, path: str) -> None:
+        if isinstance(dt, StructType):
+            for f in dt.fields:
+                child = f"{path}/{f.name}"
+                out.append(child)
+                walk(f.dataType, child)
+        elif isinstance(dt, ArrayType):
+            child = f"{path}/*"
+            out.append(child)
+            walk(dt.elementType, child)
+        elif isinstance(dt, MapType):
+            child = f"{path}/*"
+            out.append(child)
+            walk(dt.valueType, child)
+
+    walk(schema, "")
+    return out
+
+
+def unseen_instance_paths(plan: Compiled, schema) -> list[str]:
+    """Instance-side coverage (`Coverage.java:145-151` analog — the
+    reference traverses the instance and reports locations absent from
+    the keyword-application map): data locations the table schema
+    exposes that NO compiled constraint ever touches.
+
+    A non-empty result is the 'unvalidated columns' smell — spec rot or
+    a contract that silently ignores part of the table.  Exact-path
+    semantics like the reference (a constraint on '/a/b' does not mark
+    '/a' seen), with one columnar-engine convention: element-applicator
+    keywords (items/contains/patternProperties/…) are ATTRIBUTED to
+    their container path by the compiler, so they mark the container's
+    '/*' child seen too.  Compile-time metadata only, no scan."""
+    element_keywords = {
+        "items", "additionalItems", "contains", "maxContains",
+        "minContains", "uniqueItems", "unevaluatedItems",
+        "patternProperties", "additionalProperties", "propertyNames",
+        "unevaluatedProperties",
+    }
+    seen = set()
+    for leaf in plan.leaves:
+        seen.add(leaf.instance_path)
+        if leaf.constraint_id.rsplit("/", 1)[-1] in element_keywords:
+            seen.add(leaf.instance_path + "/*")
+    return sorted(p for p in schema_instance_paths(schema) if p not in seen)

@@ -133,3 +133,58 @@ def test_lint_draft_mismatches():
 
 def test_lint_valid_media_type_passes():
     assert lint({"contentMediaType": "application/json; charset=utf-8"}) == []
+
+
+def test_unseen_instance_paths(spark):
+    """Instance-side coverage: schema locations no constraint touches
+    are reported; constrained ones (and array element paths reached by
+    items) are not."""
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from snowy_json_spark.operators.coverage import (
+        schema_instance_paths,
+        unseen_instance_paths,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("tags", ArrayType(StringType())),
+            StructField(
+                "meta",
+                StructType(
+                    [
+                        StructField("source", StringType()),
+                        StructField("rank", LongType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    assert set(schema_instance_paths(schema)) == {
+        "", "/doc_id", "/lang", "/tags", "/tags/*",
+        "/meta", "/meta/source", "/meta/rank",
+    }
+
+    spec = {
+        "required": ["doc_id"],
+        "properties": {
+            "lang": {"pattern": "^[a-z]{2}$"},
+            "tags": {"items": {"minLength": 1}},
+            "meta": {"properties": {"source": {"minLength": 1}}},
+        },
+    }
+    plan = compile_spec(spec, schema)
+    unseen = unseen_instance_paths(plan, schema)
+    # required touches the root; pattern touches /lang; items (an
+    # element applicator attributed to /tags) marks /tags and /tags/*;
+    # nested properties touches /meta/source exactly (NOT /meta —
+    # reference exact-path semantics)
+    assert unseen == ["/doc_id", "/meta", "/meta/rank"]
