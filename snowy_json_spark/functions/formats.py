@@ -328,6 +328,124 @@ def _idn_label_ok(label: str) -> bool:
     return True
 
 
+def _idn_u_label(label: str) -> str:
+    """Decoded U-label form (xn-- labels punycode-decoded; callers run
+    this only after _idn_label_ok proved the decode succeeds)."""
+    lower = label.lower()
+    if lower.startswith("xn--"):
+        return lower[4:].encode("ascii").decode("punycode")
+    return label
+
+
+def _idn_context_ok(label: str) -> bool:
+    """RFC 5892 Appendix A contextual rules (CONTEXTJ + CONTEXTO) on a
+    U-label, the analog of ICU's UTS-46 contextual checks
+    (net/Hostname.java:87-206). Implemented from unicodedata:
+
+    - A.1 ZWNJ: preceded by Virama (ccc 9), or the join-context regex —
+      approximated as an Arabic/Syriac/NKo/Mandaic letter on both sides
+      with Mn/Me/Cf transparent (full Joining_Type tables live in ICU /
+      the idna package; this fallback over-accepts R-joining letters
+      before ZWNJ)
+    - A.2 ZWJ: preceded by Virama
+    - A.3 middle dot U+00B7: between two U+006C 'l'
+    - A.4 Greek keraia U+0375: followed by a Greek-script char
+    - A.5/A.6 Hebrew geresh/gershayim: preceded by a Hebrew-script char
+    - A.7 katakana middle dot U+30FB: label contains Hiragana/Katakana/Han
+    - A.8/A.9 Arabic-Indic vs extended Arabic-Indic digits never mix
+    """
+    import unicodedata
+
+    def is_virama(ch: str) -> bool:
+        return unicodedata.combining(ch) == 9
+
+    def name_has(ch: str, *words: str) -> bool:
+        nm = unicodedata.name(ch, "")
+        return any(nm.startswith(w) or (" " + w) in nm for w in words)
+
+    def joining_letter(ch: str) -> bool:
+        return name_has(ch, "ARABIC", "SYRIAC", "NKO", "MANDAIC") and (
+            unicodedata.category(ch).startswith("L")
+        )
+
+    has_arabic_digit = any("٠" <= ch <= "٩" for ch in label)
+    has_ext_arabic_digit = any("۰" <= ch <= "۹" for ch in label)
+    if has_arabic_digit and has_ext_arabic_digit:
+        return False
+
+    for i, ch in enumerate(label):
+        if ch in ("‌", "‍"):
+            if i > 0 and is_virama(label[i - 1]):
+                continue
+            if ch == "‍":
+                return False
+            # ZWNJ join-context approximation: skip transparent marks
+            # outward on both sides, require joining letters
+            j = i - 1
+            while j >= 0 and unicodedata.category(label[j]) in ("Mn", "Me", "Cf"):
+                j -= 1
+            k = i + 1
+            while k < len(label) and unicodedata.category(label[k]) in ("Mn", "Me", "Cf"):
+                k += 1
+            if j < 0 or k >= len(label):
+                return False
+            if not (joining_letter(label[j]) and joining_letter(label[k])):
+                return False
+        elif ch == "·":
+            if i == 0 or i == len(label) - 1:
+                return False
+            if label[i - 1] != "l" or label[i + 1] != "l":
+                return False
+        elif ch == "͵":
+            if i == len(label) - 1 or not name_has(label[i + 1], "GREEK"):
+                return False
+        elif ch in ("׳", "״"):
+            if i == 0 or not name_has(label[i - 1], "HEBREW"):
+                return False
+        elif ch == "・":
+            if not any(
+                name_has(c, "HIRAGANA", "KATAKANA", "CJK") for c in label if c != ch
+            ):
+                return False
+    return True
+
+
+def _idn_bidi_ok(u_labels: list) -> bool:
+    """RFC 5893 Bidi rule: if any label contains an RTL char the whole
+    name is a Bidi domain name and EVERY label must satisfy the
+    six-part rule (first char L/R/AL; direction-consistent body;
+    direction-consistent final char modulo NSM; no EN+AN mixing in RTL
+    labels)."""
+    import unicodedata
+
+    def classes(label: str) -> list:
+        return [unicodedata.bidirectional(ch) or "ON" for ch in label]
+
+    all_classes = [classes(lb) for lb in u_labels if lb]
+    if not any(
+        c in ("R", "AL", "AN") for cls in all_classes for c in cls
+    ):
+        return True
+    for cls in all_classes:
+        first = cls[0]
+        if first in ("R", "AL"):
+            allowed = {"R", "AL", "AN", "EN", "ES", "CS", "ET", "ON", "BN", "NSM"}
+            finals = {"R", "AL", "AN", "EN"}
+            if "EN" in cls and "AN" in cls:
+                return False
+        elif first == "L":
+            allowed = {"L", "EN", "ES", "CS", "ET", "ON", "BN", "NSM"}
+            finals = {"L", "EN"}
+        else:
+            return False
+        if any(c not in allowed for c in cls):
+            return False
+        tail = [c for c in cls if c != "NSM"]
+        if not tail or tail[-1] not in finals:
+            return False
+    return True
+
+
 def _is_idn_hostname(v: str) -> bool:
     """IDN hostname check.
 
@@ -335,9 +453,10 @@ def _is_idn_hostname(v: str) -> bool:
     (net/Hostname.java:87-206). The `idna` package is the Python
     equivalent; without it the fallback enforces the RFC 5891 label
     rules (length, hyphen-34, leading-combining-mark, xn-- punycode
-    roundtrip) — still a documented approximation: CONTEXTO/CONTEXTJ
-    rules (middle dot, Greek keraia, Hebrew geresh, ZWJ/ZWNJ) and the
-    Bidi rule need the full IDNA tables."""
+    roundtrip) plus the RFC 5892 CONTEXTO/CONTEXTJ rules and the RFC
+    5893 Bidi rule on decoded U-labels. The one remaining documented
+    approximation: ZWNJ's join-context regex uses a script heuristic
+    instead of the full Joining_Type table."""
     try:
         import idna  # type: ignore
 
@@ -350,7 +469,13 @@ def _is_idn_hostname(v: str) -> bool:
         pass
     if not v or len(v.encode("utf-8", "ignore")) > 253:
         return False
-    return all(_idn_label_ok(label) for label in v.split("."))
+    labels = v.split(".")
+    if not all(_idn_label_ok(label) for label in labels):
+        return False
+    u_labels = [_idn_u_label(label) for label in labels]
+    if not all(_idn_context_ok(u) for u in u_labels):
+        return False
+    return _idn_bidi_ok(u_labels)
 
 
 # --------------------------------------------------------------------------

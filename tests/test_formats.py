@@ -213,6 +213,31 @@ IDN_HOSTNAME_OFFICIAL = [
     ("ab--cd", False, True),                                  # hyphen-34 rule
     ("a.b.c", True, True),
     ("", False, True),
+    # CONTEXTO/CONTEXTJ + Bidi cases (round-4: fallback now judges
+    # these via _idn_context_ok/_idn_bidi_ok; idna verdicts confirmed)
+    ("l·l", True, True),                                # A.3 middle dot between l's
+    ("a·l", False, True),                               # middle dot needs l on both sides
+    ("l·", False, True),
+    ("·l", False, True),
+    ("α͵β", True, True),                      # A.4 keraia followed by Greek
+    ("α͵S", False, True),                          # keraia followed by Latin
+    ("א׳ב", True, True),                      # A.5 geresh after Hebrew
+    ("׳ב", False, True),                           # geresh with nothing before
+    ("א״ב", True, True),                      # A.6 gershayim after Hebrew
+    ("״ב", False, True),                           # gershayim with nothing before
+    ("क्‌ष", True, True),                    # A.1 ZWNJ preceded by virama
+    ("क‌ष", False, True),                          # ZWNJ no virama, no join context
+    ("بي‌بي", True, True),              # ZWNJ in Arabic join context
+    ("क्‍ष", True, True),                    # A.2 ZWJ preceded by virama
+    ("क‍ष", False, True),                          # ZWJ without virama
+    ("א0٠", False, True),                         # Bidi: EN+AN mixed in RTL label
+    ("aא", False, True),                               # Bidi: R char in LTR label
+    ("אb", False, True),                               # Bidi: L char in RTL label
+    ("٠۰", False, True),                          # A.8/A.9 Arabic digit sets mixed
+    ("a・b", False, True),                              # A.7 katakana dot, no CJK in label
+    ("ア・イ", True, True),                       # katakana dot with Katakana
+    ("א.ב", True, True),                          # pure RTL domain
+    ("ab.א", True, True),                              # mixed-direction labels, each valid
 ]
 
 
