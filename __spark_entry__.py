@@ -1401,6 +1401,96 @@ def _media_meta_sql() -> str:
     """
 
 
+def _q_paragraph_dedup_documents(spark, sf_dir):
+    """Exact corpus-level passage dedup (Lee et al. 2022 keep-first
+    semantics) on a deterministic planted construction: every doc gets
+    a per-source footer paragraph (repeated ~25× per source at sf0.01),
+    docs with doc_id%7==0 additionally share a global legal paragraph,
+    and every doc keeps a unique closing paragraph.  keep='first'
+    retains each repeated paragraph only at its min-(doc,pos)
+    occurrence; the DuckDB oracle re-derives the same construction and
+    removal from first principles (window rank + ordered string_agg)
+    and compares byte-level md5 of the rebuilt text."""
+    from snowy_json_spark.operators.text import remove_repeated_paragraphs
+
+    df = _docs(spark, sf_dir)
+    planted = df.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\n\nsubscribe to the "),
+            F.col("source"),
+            F.lit(" newsletter"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("\n\nall rights reserved worldwide"),
+            ).otherwise(F.lit("")),
+            F.lit("\n\ndoc "),
+            F.col("doc_id").cast("string"),
+            F.lit(" closing line"),
+        ).alias("text"),
+    )
+    out = remove_repeated_paragraphs(
+        planted, "text", min_doc_frequency=5, id_col="doc_id", keep="first"
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_paras").cast("long").alias("n_paras"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        F.md5(F.col("text")).alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+def _q_incremental_dedup_documents(spark, sf_dir):
+    """Cross-corpus incremental near-dup: the corpus (doc_id%5!=0) is
+    indexed once (minhash_index, 64 hashes × 16 bands); the 'new batch'
+    (doc_id%5==0 fresh docs + planted near-copies of corpus docs with
+    doc_id%10==1, suffix-perturbed, id+100000) probes the index without
+    ever shuffling it.  Candidates are recounted by exact char-5
+    Jaccard and kept at true J ≥ 0.8 — recall is 1 by the banding
+    arithmetic: with 32 bands of width 2 the marginal measured pair
+    (J=0.8017 at sf0.01) has per-band hit 0.8017² ≈ 0.64 and miss
+    (1-0.64)³² ≈ 6e-15, so the fixed hash family cannot realistically
+    drop a true pair and the DuckDB oracle can recompute the full
+    new×old exact-Jaccard pair set from first principles."""
+    from snowy_json_spark.operators.dedup import (
+        incremental_near_duplicates,
+        minhash_index,
+    )
+
+    df = _docs(spark, sf_dir)
+    corpus = df.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+    new_batch = (
+        df.filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+        .unionAll(
+            df.filter((F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 10 == 1)).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" incremental probe copy")).alias("text"),
+            )
+        )
+    )
+    sigs, bands = minhash_index(
+        corpus, "doc_id", "text", n_hashes=64, n_bands=32, shingle_k=5, mode="char"
+    )
+    cands = incremental_near_duplicates(
+        new_batch, sigs, bands, "doc_id", "text",
+        threshold=0.3, n_hashes=64, n_bands=32, shingle_k=5, mode="char",
+    ).select(F.col("new_id").alias("id_a"), F.col("old_id").alias("id_b"))
+    combined = corpus.unionAll(new_batch)
+    verified = exact_jaccard_for_pairs(cands, combined, "doc_id", "text",
+                                       shingle_k=5, mode="char")
+    return (
+        verified.filter(F.col("jaccard") >= 0.8)
+        .select(
+            F.col("id_a").alias("new_id"),
+            F.col("id_b").alias("old_id"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+        .orderBy("new_id", "old_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_validation_documents": _q_row_validation_documents,
@@ -1449,7 +1539,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_contract_documents": _q_schema_contract_documents,
         "contamination_documents": _q_contamination_documents,
         "ann_exhaustive_topk": _q_ann_exhaustive_topk,
-        # rows-only (LSH / pandas-UDF paths; no SQL equivalent)
+        "paragraph_dedup_documents": _q_paragraph_dedup_documents,
+        "incremental_dedup_documents": _q_incremental_dedup_documents,
+        # approximate-path queries, promoted to exact-verified /
+        # recall-arithmetic oracle forms in round 4 (all 4 have
+        # oracle_sql entries now)
         "minhash_near_dups_documents": _q_minhash_near_dups_documents,
         "simhash_near_dups_documents": _q_simhash_near_dups_documents,
         "lsh_topk_embeddings": _q_lsh_topk_embeddings,
@@ -1944,6 +2038,71 @@ def oracle_sql() -> dict[str, str]:
         # the exact pair set the verified LSH pipelines must recover
         # (recall-1 margins documented in the query docstrings)
         "minhash_near_dups_documents": _char5_jaccard_oracle(0.5),
+        # identical planted construction; removal re-derived from first
+        # principles (window rank over occurrences + ordered string_agg)
+        "paragraph_dedup_documents": """
+            WITH planted AS (
+              SELECT doc_id,
+                text || e'\n\nsubscribe to the ' || source || ' newsletter'
+                     || CASE WHEN doc_id % 7 = 0
+                             THEN e'\n\nall rights reserved worldwide' ELSE '' END
+                     || e'\n\ndoc ' || CAST(doc_id AS VARCHAR) || ' closing line'
+                  AS text
+              FROM documents),
+            paras AS (
+              SELECT doc_id,
+                     unnest(string_split(text, e'\n\n')) AS para,
+                     generate_subscripts(string_split(text, e'\n\n'), 1) AS pos
+              FROM planted),
+            freq AS (
+              SELECT para FROM paras WHERE length(para) >= 1
+              GROUP BY para HAVING COUNT(DISTINCT doc_id) >= 5),
+            ranked AS (
+              SELECT p.doc_id, p.pos, p.para, (f.para IS NOT NULL) AS rep,
+                     ROW_NUMBER() OVER (PARTITION BY p.para
+                                        ORDER BY p.doc_id, p.pos) AS rn
+              FROM paras p LEFT JOIN freq f ON p.para = f.para),
+            kept AS (
+              SELECT doc_id, pos, para, (NOT rep) OR rn = 1 AS keep FROM ranked)
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_paras,
+                   CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+                   md5(COALESCE(string_agg(CASE WHEN keep THEN para END,
+                                           e'\n\n' ORDER BY pos), '')) AS clean_md5
+            FROM kept GROUP BY doc_id ORDER BY doc_id
+        """,
+        # full new-batch × corpus exact char-5 Jaccard from the same
+        # deterministic split + planted probe copies
+        "incremental_dedup_documents": f"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+            newb AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id,
+                     text || ' incremental probe copy' AS text
+              FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 10 = 1),
+            nc AS (SELECT doc_id, {_NORM} AS t FROM corpus WHERE text IS NOT NULL),
+            nn AS (SELECT doc_id, {_NORM} AS t FROM newb WHERE text IS NOT NULL),
+            shc AS (
+              SELECT DISTINCT doc_id, substr(t, CAST(i AS INTEGER), 5) AS s
+              FROM nc, UNNEST(range(1, greatest(length(t) - 4, 1) + 1)) AS r(i)),
+            shn AS (
+              SELECT DISTINCT doc_id, substr(t, CAST(i AS INTEGER), 5) AS s
+              FROM nn, UNNEST(range(1, greatest(length(t) - 4, 1) + 1)) AS r(i)),
+            szc AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+            szn AS (SELECT doc_id, COUNT(*) AS n FROM shn GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS new_id, b.doc_id AS old_id, COUNT(*) AS ni
+              FROM shn a JOIN shc b ON a.s = b.s GROUP BY 1, 2)
+            SELECT new_id, old_id,
+                   ROUND(ni * 1.0 / (sa.n + sb.n - ni), 6) AS jaccard
+            FROM inter
+            JOIN szn sa ON sa.doc_id = new_id
+            JOIN szc sb ON sb.doc_id = old_id
+            WHERE ni * 1.0 / (sa.n + sb.n - ni) >= 0.8
+            ORDER BY new_id, old_id
+        """,
         "simhash_near_dups_documents": _char5_jaccard_oracle(0.9),
         "unevaluated_props_documents": """
             WITH g AS (

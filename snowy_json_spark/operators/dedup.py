@@ -301,16 +301,12 @@ def minhash_signatures(
     return base.select(F.col(id_col), sig.alias("minhash"))
 
 
-def lsh_candidate_pairs(
+def band_keys(
     sigs: DataFrame, id_col: str, n_bands: int = 16, rows_per_band: int = 8
 ) -> DataFrame:
-    """Banded LSH: docs sharing any band bucket become candidate pairs.
-
-    Explodes to n_bands rows per doc keyed by (band, bucket-hash), then
-    **self-joins** on (band, bucket) with ``id_a < id_b``.  The join is
-    the scale-safe plan: a hot bucket never has to fit in one
-    ``collect_list`` buffer, AQE's skew-join splitting applies, and the
-    whole pipeline stays in codegen.  Shuffle volume is rows×bands."""
+    """(id, band, bucket): each signature exploded to its n_bands LSH
+    keys — the persistable probe index for incremental dedup (store it
+    partitioned/bucketed by (band, bucket) so batch probes co-locate)."""
     bands = F.array(
         *[
             F.struct(
@@ -322,9 +318,22 @@ def lsh_candidate_pairs(
             for i in range(n_bands)
         ]
     )
-    exploded = sigs.select(F.col(id_col), F.explode(bands).alias("b")).select(
+    return sigs.select(F.col(id_col), F.explode(bands).alias("b")).select(
         F.col(id_col), F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
     )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, n_bands: int = 16, rows_per_band: int = 8
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become candidate pairs.
+
+    Explodes to n_bands rows per doc keyed by (band, bucket-hash), then
+    **self-joins** on (band, bucket) with ``id_a < id_b``.  The join is
+    the scale-safe plan: a hot bucket never has to fit in one
+    ``collect_list`` buffer, AQE's skew-join splitting applies, and the
+    whole pipeline stays in codegen.  Shuffle volume is rows×bands."""
+    exploded = band_keys(sigs, id_col, n_bands, rows_per_band)
     a = exploded.select(
         F.col(id_col).alias("id_a"), "band", "bucket"
     )
@@ -774,4 +783,97 @@ def dedup_representatives(labels: DataFrame) -> DataFrame:
     every other member is a droppable duplicate."""
     return labels.groupBy("cluster").agg(
         F.min("node").alias("keep_id"), F.count(F.lit(1)).alias("n_members")
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental (cross-corpus) near-dup: probe a new batch against a
+# persisted signature index — the continuous-crawl ingestion pattern
+# ---------------------------------------------------------------------------
+
+
+def minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 128,
+    n_bands: int = 16,
+    shingle_k: int = 5,
+    mode: str = "char",
+    seed: int = 42,
+    impl: str = "arrow",
+) -> tuple[DataFrame, DataFrame]:
+    """Build the persistable dedup index for a corpus: ``(sigs, bands)``.
+
+    ``sigs`` is (id, minhash) — one row per document, n_hashes longs;
+    ``bands`` is (id, band, bucket) — n_bands rows per document, the LSH
+    probe keys.  At corpus scale write ``bands`` partitioned by ``band``
+    and bucketed by ``bucket`` so every future batch probe is a
+    co-located join that never shuffles the index; append new batches
+    with a plain union-write (signatures are deterministic in
+    (n_hashes, shingle_k, mode, seed) — parameters are part of the
+    index identity and must match at probe time)."""
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k, mode, seed, impl)
+    bands = band_keys(sigs, id_col, n_bands, n_hashes // n_bands)
+    return sigs, bands
+
+
+def incremental_near_duplicates(
+    new_df: DataFrame,
+    index_sigs: DataFrame,
+    index_bands: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    n_hashes: int = 128,
+    n_bands: int = 16,
+    shingle_k: int = 5,
+    mode: str = "char",
+    seed: int = 42,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """(new_id, old_id, est_jaccard): new-batch documents whose
+    signature-estimated Jaccard against some already-indexed document
+    reaches ``threshold``.
+
+    The scale shape is the whole point: the INDEX (10^12 rows of band
+    keys) is never shuffled — the new batch's band keys (rows×n_bands,
+    a day's crawl) are broadcast and the index streams through a
+    map-side hash join; candidate pairs then fetch the two signatures
+    with joins whose shuffle volume is ∝ candidates, not corpus.  Set
+    ``broadcast_new=False`` for a batch too large to broadcast — the
+    join degrades to a shuffle on (band, bucket), which a
+    (band, bucket)-bucketed stored index makes one-sided again.
+
+    Parameters must equal those used to build the index (documented in
+    :func:`minhash_index`); asymmetric outputs keep new/old roles —
+    downstream keeps the OLD copy and drops the new one, making
+    ingestion idempotent."""
+    new_sigs, new_bands = minhash_index(
+        new_df, id_col, text_col, n_hashes, n_bands, shingle_k, mode, seed
+    )
+    probe = new_bands.select(
+        F.col(id_col).alias("new_id"), "band", "bucket"
+    )
+    if broadcast_new:
+        probe = F.broadcast(probe)
+    cands = (
+        index_bands.select(F.col(id_col).alias("old_id"), "band", "bucket")
+        .join(probe, ["band", "bucket"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    a = new_sigs.select(F.col(id_col).alias("new_id"), F.col("minhash").alias("sig_a"))
+    b = index_sigs.select(F.col(id_col).alias("old_id"), F.col("minhash").alias("sig_b"))
+    eq = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return (
+        cands.join(F.broadcast(a) if broadcast_new else a, "new_id")
+        .join(b, "old_id")
+        .select("new_id", "old_id", (eq / F.size(F.col("sig_a"))).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
     )

@@ -591,3 +591,125 @@ def contamination_counts(
         n_overlap.alias("n_overlap"),
         (n_overlap >= F.lit(min_overlap)).alias("contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-level repeated-paragraph removal (exact passage dedup)
+# ---------------------------------------------------------------------------
+
+
+def repeated_paragraphs(
+    df: DataFrame,
+    text_col: str,
+    min_doc_frequency: int,
+    id_col: str,
+    sep: str = "\n\n",
+    min_para_chars: int = 1,
+) -> DataFrame:
+    """(para_md5, doc_frequency, first_id, first_pos) for paragraphs
+    appearing in ≥ ``min_doc_frequency`` DISTINCT documents.
+
+    Exact passage-dedup frequency table (Lee et al. 2022-style, at
+    paragraph granularity): paragraphs are the ``sep``-delimited spans
+    of the raw text — NOT trimmed or normalized, so removal is
+    byte-reversible.  Keys are md5 digests: the count shuffle moves
+    16-byte hashes + doc ids, never paragraph bytes, and partial
+    aggregation bounds map output by distinct-paras-per-partition.
+    ``first_*`` is the globally first occurrence (min (doc, pos)) — the
+    occurrence keep-first removal retains."""
+    paras = df.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_para"),
+    ).filter(F.length("_para") >= min_para_chars)
+    return (
+        paras.select("_doc", "_pos", F.md5(F.col("_para")).alias("para_md5"))
+        .groupBy("para_md5")
+        .agg(
+            F.count_distinct("_doc").alias("doc_frequency"),
+            F.min(F.struct(F.col("_doc"), F.col("_pos"))).alias("_first"),
+        )
+        .filter(F.col("doc_frequency") >= min_doc_frequency)
+        .select(
+            "para_md5",
+            "doc_frequency",
+            F.col("_first._doc").alias("first_id"),
+            F.col("_first._pos").alias("first_pos"),
+        )
+    )
+
+
+def remove_repeated_paragraphs(
+    df: DataFrame,
+    text_col: str,
+    min_doc_frequency: int,
+    id_col: str,
+    out_col: str | None = None,
+    keep: str = "first",
+    sep: str = "\n\n",
+    min_para_chars: int = 1,
+) -> DataFrame:
+    """Exact corpus-level passage dedup: rewrite ``text_col`` with
+    paragraphs that occur in ≥ ``min_doc_frequency`` distinct documents
+    removed, order and bytes of the kept paragraphs preserved.
+
+    ``keep='first'`` (Lee et al. 2022 semantics) retains the globally
+    first occurrence — min (doc, pos) — so exactly one copy of every
+    duplicated passage survives and ingestion stays deterministic;
+    ``keep='none'`` drops every occurrence (boilerplate semantics, the
+    paragraph-granularity sibling of :func:`remove_boilerplate_lines`).
+
+    Plan shape at 10^12 rows: the frequency table is ∝ *repeated*
+    paragraphs (small by definition — doc_frequency ≥ k) and is
+    broadcast; the per-occurrence keep/drop decision is a map-side hash
+    join on the 16-byte md5, and the only corpus-sized shuffle is the
+    (doc-keyed, well-distributed) reassembly groupBy — unavoidable for
+    keep-first, where the decision is per-occurrence, not per-paragraph.
+    Adds ``n_paras`` / ``n_removed`` counter columns.
+
+    NULL text passes through as NULL; a document whose every paragraph
+    was removed becomes ``''``."""
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    out_col = out_col or text_col
+    rep = F.broadcast(
+        repeated_paragraphs(df, text_col, min_doc_frequency, id_col, sep, min_para_chars)
+    )
+    paras = df.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_para"),
+    ).withColumn("_ph", F.md5(F.col("_para")))
+    joined = paras.join(rep, paras["_ph"] == rep["para_md5"], "left")
+    if keep == "first":
+        keep_cond = F.col("para_md5").isNull() | (
+            (F.col("_doc") == F.col("first_id")) & (F.col("_pos") == F.col("first_pos"))
+        )
+    else:
+        keep_cond = F.col("para_md5").isNull()
+    flagged = joined.select("_doc", "_pos", "_para", keep_cond.alias("_keep"))
+    rebuilt = flagged.groupBy("_doc").agg(
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.sort_array(F.collect_list(F.struct("_pos", "_para", "_keep"))),
+                    lambda s: s["_keep"],
+                ),
+                lambda s: s["_para"],
+            ),
+            sep,
+        ).alias("_rebuilt"),
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.when(~F.col("_keep"), 1).otherwise(0)).alias("n_removed"),
+    )
+    out = df.join(rebuilt, df[id_col] == rebuilt["_doc"], "left")
+    out_expr = F.when(
+        F.col(text_col).isNotNull(), F.coalesce(F.col("_rebuilt"), F.lit(""))
+    )
+    return out.select(
+        *[
+            out_expr.alias(c) if c == out_col and c in df.columns else F.col(c)
+            for c in df.columns
+        ],
+        *([] if out_col in df.columns else [out_expr.alias(out_col)]),
+        F.coalesce(F.col("n_paras"), F.lit(0)).alias("n_paras"),
+        F.coalesce(F.col("n_removed"), F.lit(0)).alias("n_removed"),
+    )
