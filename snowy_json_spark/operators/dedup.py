@@ -852,6 +852,25 @@ def incremental_near_duplicates(
     new_sigs, new_bands = minhash_index(
         new_df, id_col, text_col, n_hashes, n_bands, shingle_k, mode, seed
     )
+    return probe_index(
+        new_sigs, new_bands, index_sigs, index_bands, id_col, threshold, broadcast_new
+    )
+
+
+def probe_index(
+    new_sigs: DataFrame,
+    new_bands: DataFrame,
+    index_sigs: DataFrame,
+    index_bands: DataFrame,
+    id_col: str,
+    threshold: float = 0.8,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Probe precomputed new-batch (sigs, bands) against the index —
+    the signature-level half of :func:`incremental_near_duplicates`,
+    exposed so callers that already hold the batch signatures (the
+    streaming ingest loop, which must also append them to the index)
+    compute them exactly once."""
     probe = new_bands.select(
         F.col(id_col).alias("new_id"), "band", "bucket"
     )

@@ -205,3 +205,51 @@ def test_incremental_no_broadcast_same_result(split_corpus):
         ).collect()
     }
     assert a == b and a
+
+
+# ---------------------------------------------------------------------------
+# streaming continuous-ingest dedup (foreachBatch + persisted index)
+# ---------------------------------------------------------------------------
+
+
+def _texts(n):
+    # pairwise-dissimilar bodies: shared fragments only via the literal
+    # word stem, J(i, j) ~ 0.08 — far under any threshold
+    return [f"alpha{i} " * 10 + f"omega{i}" for i in range(n)]
+
+
+def test_stream_minhash_dedup_across_batches(spark, tmp_path):
+    from snowy_json_spark.streaming.dedup_stream import stream_minhash_dedup
+
+    src, idx, out, chk = (str(tmp_path / d) for d in ("src", "idx", "out", "chk"))
+    schema = "doc_id long, text string"
+    texts = _texts(8)
+
+    batch1 = [(i, texts[i]) for i in range(6)]
+    # intra-batch duplicate: doc 50 repeats doc 2's text exactly
+    batch1.append((50, texts[2]))
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src)
+    q = stream_minhash_dedup(
+        spark.readStream.schema(schema).parquet(src),
+        "doc_id", "text", idx, out, chk,
+        threshold=0.8, n_hashes=64, n_bands=32,
+    )
+    q.awaitTermination()
+    ids1 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert ids1 == set(range(6))  # 50 deduped intra-batch (higher id loses)
+
+    # batch 2: exact copies of indexed docs + fresh docs
+    batch2 = [(100, texts[1]), (101, texts[4]), (102, texts[6]), (103, texts[7])]
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+    q2 = stream_minhash_dedup(
+        spark.readStream.schema(schema).parquet(src),
+        "doc_id", "text", idx, out, chk,
+        threshold=0.8, n_hashes=64, n_bands=32,
+    )
+    q2.awaitTermination()
+    ids_all = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert ids_all == set(range(6)) | {102, 103}  # 100/101 matched the index
+
+    # the index holds signatures for every survivor and nothing else
+    sig_ids = {r["doc_id"] for r in spark.read.parquet(f"{idx}/sigs").collect()}
+    assert sig_ids == ids_all
