@@ -11,7 +11,7 @@ no UDF):
 - scheme + host lowercased (path/query case is significant, host isn't)
 - explicit default port dropped (``:443`` for https, ``:80`` for http)
 - fragment dropped
-- tracking parameters dropped (utm_*, fbclid, gclid, msclkid, ref)
+- tracking parameters dropped (utm_*, fbclid, gclid, msclkid)
 - remaining query parameters sorted (order-insensitive equality)
 - empty path normalized to ``/``
 

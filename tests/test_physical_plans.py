@@ -114,3 +114,61 @@ def test_media_metadata_scan_prunes_to_payload(spark, pages):
     (schema_line,) = read_schema_lines(p)
     assert "warc_ts" not in schema_line, schema_line
     assert "text" not in schema_line, schema_line
+
+
+def test_repeated_paragraph_removal_plan(spark, pages):
+    """Exact passage dedup: the repeated-paragraph frequency table is
+    broadcast (map-side hash join on the md5 key — never a corpus-wide
+    sort-merge), there is no cartesian expansion, and the explode/count
+    subplans scan only (id, text) — the html binary stays columnar
+    except in the final all-columns output rejoin."""
+    from snowy_json_spark.operators.text import remove_repeated_paragraphs
+
+    p = explain(remove_repeated_paragraphs(pages, "text", 2, "url"))
+    assert "BroadcastHashJoin" in p, "frequency table not broadcast"
+    assert "SortMergeJoin" not in p, "corpus-wide sort-merge join in passage dedup"
+    assert "Cartesian" not in p
+    lines = read_schema_lines(p)
+    pruned = [l for l in lines if "struct<url:string,text:string>" in l]
+    assert len(pruned) >= 2, f"explode subplans not pruned to (id,text): {lines}"
+    assert sum("html" in l for l in lines) <= 1, lines
+
+
+def test_incremental_probe_never_shuffles_index(spark, pages):
+    """Cross-corpus incremental dedup: with broadcast_new=True the
+    index side (10^12 rows at scale) must stream through map-side hash
+    joins — zero SortMergeJoin / ShuffledHashJoin anywhere in the plan,
+    and every scan pruned to (id, text)."""
+    from snowy_json_spark.operators.dedup import (
+        incremental_near_duplicates,
+        minhash_index,
+    )
+
+    corpus = pages.filter(F.crc32("url") % 5 != 0)
+    new = pages.filter(F.crc32("url") % 5 == 0)
+    sigs, bands = minhash_index(corpus, "url", "text", 64, 16, 5, "word", 7)
+    p = explain(
+        incremental_near_duplicates(new, sigs, bands, "url", "text", 0.5, 64, 16, 5, "word", 7)
+    )
+    assert "SortMergeJoin" not in p, "index side shuffled"
+    assert "ShuffledHashJoin" not in p, "index side shuffled"
+    assert p.count("BroadcastHashJoin") >= 3, "probe/signature joins not broadcast"
+    for line in read_schema_lines(p):
+        assert "html" not in line, line
+
+
+def test_contamination_join_broadcasts_benchmark(spark, pages):
+    """Join-path decontamination: the benchmark n-gram table is
+    broadcast against the exploded document n-grams (no shuffle of the
+    corpus-sized exploded side for the membership probe), and the
+    explode subplan scans only (id, text)."""
+    from snowy_json_spark.operators.text import contamination_counts
+
+    p = explain(
+        contamination_counts(
+            pages, "url", "text", ["alpha beta gamma delta"], impl="join"
+        )
+    )
+    assert "BroadcastHashJoin" in p, "benchmark n-grams not broadcast"
+    lines = read_schema_lines(p)
+    assert any("struct<url:string,text:string>" in l for l in lines), lines
