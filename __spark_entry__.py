@@ -1491,6 +1491,75 @@ def _q_incremental_dedup_documents(spark, sf_dir):
     )
 
 
+def _q_host_blocklist_documents(spark, sf_dir):
+    """UT1-style host blocklist filtering (urls.flag_blocked_hosts,
+    forced onto the scale path: suffix explode → broadcast join →
+    most-specific match): hosts are synthesized from doc_id arithmetic
+    — ``h{d%11}.dom{d%7}.top`` — and the blocklist mixes a parent
+    domain (``dom3.top``, catches every d%7==3 host as a subdomain
+    suffix), an exact host (``h5.dom2.top``, d%11==5 ∧ d%7==2), and a
+    never-matching domain, so the DuckDB oracle reproduces the verdict
+    per document from the same arithmetic with no URL parsing."""
+    from snowy_json_spark.operators.urls import flag_blocked_hosts
+
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"),
+            (d % 11).cast("string"),
+            F.lit(".dom"),
+            (d % 7).cast("string"),
+            F.lit(".top/page/"),
+            d.cast("string"),
+        ).alias("url"),
+    )
+    flagged = flag_blocked_hosts(
+        docs, "url", ["dom3.top", "h5.dom2.top", "absent.example"], impl="join"
+    )
+    return (
+        flagged.groupBy(
+            F.coalesce(F.col("blocked_domain"), F.lit("kept")).alias("verdict")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("verdict")
+    )
+
+
+def _q_host_stats_documents(spark, sf_dir):
+    """Skew-safe per-host corpus stats (urls.host_stats, two-stage
+    url-hash-salted aggregation with EXACT distinct-url counts):
+    hosts/paths synthesized from doc_id arithmetic (host d%13, path
+    d%97, so urls repeat within a host), checked against a plain
+    GROUP BY oracle computing the same distinct/sum/mean over the real
+    text column (nulls counted as 0 chars)."""
+    from snowy_json_spark.operators.urls import host_stats
+
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("https://host"),
+            (d % 13).cast("string"),
+            F.lit(".example.com/p/"),
+            (d % 97).cast("string"),
+        ).alias("url"),
+        "text",
+    )
+    out = host_stats(docs, "url", "text", n_buckets=8)
+    return out.select(
+        "host",
+        "n_docs",
+        "n_urls",
+        "total_chars",
+        F.round("mean_chars", 6).alias("mean_chars"),
+        "n_null_text",
+    ).orderBy("host")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_validation_documents": _q_row_validation_documents,
@@ -1541,6 +1610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_exhaustive_topk": _q_ann_exhaustive_topk,
         "paragraph_dedup_documents": _q_paragraph_dedup_documents,
         "incremental_dedup_documents": _q_incremental_dedup_documents,
+        "host_blocklist_documents": _q_host_blocklist_documents,
+        "host_stats_documents": _q_host_stats_documents,
         # approximate-path queries, promoted to exact-verified /
         # recall-arithmetic oracle forms in round 4 (all 4 have
         # oracle_sql entries now)
@@ -2102,6 +2173,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN szc sb ON sb.doc_id = old_id
             WHERE ni * 1.0 / (sa.n + sb.n - ni) >= 0.8
             ORDER BY new_id, old_id
+        """,
+        "host_blocklist_documents": """
+            WITH v AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 7 = 3 THEN 'dom3.top'
+                     WHEN doc_id % 11 = 5 AND doc_id % 7 = 2 THEN 'h5.dom2.top'
+                     ELSE 'kept' END AS verdict
+              FROM documents)
+            SELECT verdict, COUNT(*) AS n_docs,
+                   MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+            FROM v GROUP BY verdict ORDER BY verdict
+        """,
+        "host_stats_documents": """
+            SELECT 'host' || CAST(doc_id % 13 AS VARCHAR) || '.example.com' AS host,
+                   COUNT(*) AS n_docs,
+                   CAST(COUNT(DISTINCT doc_id % 97) AS BIGINT) AS n_urls,
+                   CAST(SUM(COALESCE(length(text), 0)) AS BIGINT) AS total_chars,
+                   ROUND(SUM(COALESCE(length(text), 0)) * 1.0 / COUNT(*), 6)
+                     AS mean_chars,
+                   CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_null_text
+            FROM documents GROUP BY 1 ORDER BY 1
         """,
         "simhash_near_dups_documents": _char5_jaccard_oracle(0.9),
         "unevaluated_props_documents": """

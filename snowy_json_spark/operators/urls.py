@@ -124,3 +124,162 @@ def canonical_duplicate_groups(
         .agg(F.count(F.lit(1)).alias("n_variants"))
         .filter(F.col("n_variants") >= min_count)
     )
+
+
+# ---------------------------------------------------------------------------
+# host blocklist filtering (UT1 / RefinedWeb-style URL filtering stage)
+# ---------------------------------------------------------------------------
+
+#: above this many blocked domains the literal zero-join expression is
+#: replaced by an exploded broadcast join (same auto-select convention
+#: as text.CONTAMINATION_LITERAL_MAX): real blocklists (UT1 adult ≈ 4M
+#: domains) would otherwise bloat the codegen'd plan.
+BLOCKLIST_LITERAL_MAX = 1_000
+
+
+def host_suffixes(host: Column, max_labels: int = 10) -> Column:
+    """All dot-suffixes of a host, most-specific first
+    (``a.b.com → [a.b.com, b.com, com]``), capped at ``max_labels``
+    trailing labels (hosts with absurd label counts are crawler noise;
+    a registrable blocked domain is always in the trailing few).
+    Null host → null."""
+    labels = F.split(host, r"\.")
+    total = F.size(labels)
+    n = F.least(total, F.lit(max_labels))
+    return F.when(
+        host.isNotNull(),
+        F.transform(
+            F.sequence(n, F.lit(1), F.lit(-1)),
+            lambda i: F.array_join(F.slice(labels, total - i + 1, i), "."),
+        ),
+    )
+
+
+def blocked_domain_match(url: Column, blocked_domains: list[str]) -> Column:
+    """Most-specific blocked domain the URL's host falls under (the
+    host itself or any parent domain), null when allowed — the
+    zero-join literal path: suffix generation + membership probe are
+    one codegen'd Column expression, no shuffle, no UDF."""
+    blocked = F.array(*[F.lit(b) for b in sorted(set(blocked_domains))])
+    matches = F.filter(
+        host_suffixes(url_host(url)), lambda s: F.array_contains(blocked, s)
+    )
+    return F.try_element_at(matches, F.lit(1))
+
+
+def flag_blocked_hosts(
+    df: DataFrame,
+    url_col: str,
+    blocked: list[str] | DataFrame,
+    out_col: str = "blocked_domain",
+    impl: str = "auto",
+) -> DataFrame:
+    """Input columns + ``out_col`` = the most-specific blocked domain
+    the row's host falls under (exact host or subdomain suffix match,
+    the UT1 blocklist convention), null when allowed.
+
+    ``blocked`` is a domain list or a one-column ``domain`` DataFrame.
+    ``auto`` picks the physical strategy from the blocklist size:
+
+    - ``literal`` (≤ :data:`BLOCKLIST_LITERAL_MAX`): pure Column
+      expression — zero joins, zero shuffle.
+    - ``join``: per-URL suffixes explode (≤ ``max_labels`` rows per
+      DISTINCT url, projected to the url column only — never the wide
+      row) and broadcast-hash-join the blocklist; the most-specific
+      match (min suffix position) per url left-joins back on the url
+      string, so plan size and broadcast cost stay O(1) in corpus size
+      and O(blocklist) only in the broadcast."""
+    if isinstance(blocked, DataFrame):
+        blocked_df = blocked.select(F.col(blocked.columns[0]).alias("_dom"))
+        n_blocked = None
+    else:
+        blocked = sorted(set(blocked))
+        n_blocked = len(blocked)
+    if impl == "auto":
+        impl = (
+            "literal"
+            if n_blocked is not None and n_blocked <= BLOCKLIST_LITERAL_MAX
+            else "join"
+        )
+    if impl == "literal":
+        if n_blocked is None:
+            blocked = [r[0] for r in blocked_df.collect()]
+        return df.withColumn(out_col, blocked_domain_match(F.col(url_col), blocked))
+    if n_blocked is not None:
+        spark = df.sparkSession
+        blocked_df = spark.createDataFrame([(d,) for d in blocked], "_dom string")
+    suf = (
+        df.select(F.col(url_col).alias("_u"))
+        .distinct()
+        .select(
+            "_u",
+            F.posexplode(host_suffixes(url_host(F.col("_u")))).alias("_pos", "_dom"),
+        )
+    )
+    hits = (
+        suf.join(F.broadcast(blocked_df), "_dom")
+        .groupBy("_u")
+        .agg(F.min(F.struct("_pos", "_dom")).alias("_best"))
+        .select("_u", F.col("_best._dom").alias(out_col))
+    )
+    out = df.join(hits, df[url_col] == hits["_u"], "left")
+    return out.select(*[df[c] for c in df.columns], F.col(out_col))
+
+
+def blocklist_filter(
+    df: DataFrame,
+    url_col: str,
+    blocked: list[str] | DataFrame,
+    impl: str = "auto",
+) -> DataFrame:
+    """Rows whose host does NOT fall under any blocked domain — the
+    URL-filtering curation stage (RefinedWeb §3.1 applies it before
+    any text heuristic; cheap, catches whole bad sites at once)."""
+    flagged = flag_blocked_hosts(df, url_col, blocked, "_blocked_dom", impl)
+    return flagged.filter(F.col("_blocked_dom").isNull()).drop("_blocked_dom")
+
+
+# ---------------------------------------------------------------------------
+# per-host corpus stats (skew-safe two-stage aggregation)
+# ---------------------------------------------------------------------------
+
+
+def host_stats(
+    df: DataFrame, url_col: str, text_col: str, n_buckets: int = 64
+) -> DataFrame:
+    """Per-host corpus profile: ``(host, n_docs, n_urls, total_chars,
+    mean_chars, n_null_text)``.
+
+    Skew is the design point: a crawl's host distribution is Zipfian
+    (one CDN host can own 10^8 of 10^12 pages), so a naive
+    ``groupBy(host)`` sends a hot host to one reducer.  Stage 1
+    partial-aggregates on ``(host, pmod(xxhash64(url), n_buckets))`` —
+    the hot host fans out over ``n_buckets`` reducers — and stage 2
+    merges the per-bucket partials, shuffling ≤ ``n_buckets`` small
+    rows per host.  ``n_urls`` stays EXACT through the split because
+    the salt is a hash of the url itself: equal urls land in the same
+    bucket, so per-bucket distinct sets are disjoint and their counts
+    sum.  ``mean_chars`` counts null text as 0 chars (matches
+    ``n_null_text`` being reported alongside)."""
+    stage1 = (
+        df.select(
+            url_host(F.col(url_col)).alias("host"),
+            F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_buckets)).alias("_b"),
+            F.col(url_col).alias("_u"),
+            F.col(text_col).alias("_t"),
+        )
+        .groupBy("host", "_b")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.count_distinct("_u").alias("_nu"),
+            F.sum(F.coalesce(F.length("_t"), F.lit(0))).alias("_chars"),
+            F.sum(F.col("_t").isNull().cast("long")).alias("_nnull"),
+        )
+    )
+    return stage1.groupBy("host").agg(
+        F.sum("_n").alias("n_docs"),
+        F.sum("_nu").alias("n_urls"),
+        F.sum("_chars").alias("total_chars"),
+        (F.sum("_chars") / F.sum("_n")).alias("mean_chars"),
+        F.sum("_nnull").alias("n_null_text"),
+    )
