@@ -1560,6 +1560,55 @@ def _q_host_stats_documents(spark, sf_dir):
     ).orderBy("host")
 
 
+def _q_curation_url_documents(spark, sf_dir):
+    """Three-stage curation (pipeline.curate_documents with the
+    RefinedWeb URL stage): host blocklist → gopher quality → near-dup
+    keep-one, with per-stage drop attribution.  Hosts are synthesized
+    as ``w.dom{d%7}.top`` so ``dom3.top`` blocks exactly d%7==3 via
+    subdomain suffix match; the oracle extends the composed
+    gopher→recursive-component SQL with the same arithmetic blocked
+    stage — blocked docs must never influence quality or dedup
+    attribution."""
+    from snowy_json_spark.operators.pipeline import curate_documents
+
+    d = F.col("doc_id")
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 100)
+        .withColumn(
+            "url",
+            F.concat(
+                F.lit("https://w.dom"),
+                (d % 7).cast("string"),
+                F.lit(".top/p/"),
+                d.cast("string"),
+            ),
+        )
+    )
+    cur = curate_documents(
+        docs, "doc_id", "text", min_jaccard=0.8,
+        url_col="url", blocked_domains=["dom3.top"],
+        min_words=40, min_mean_word_len=4.0,
+    )
+    return (
+        cur.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum((F.col("drop_reason") == "blocked_url").cast("long")).alias(
+                "n_drop_blocked"
+            ),
+            F.sum((F.col("drop_reason") == "quality").cast("long")).alias(
+                "n_drop_quality"
+            ),
+            F.sum((F.col("drop_reason") == "near_dup").cast("long")).alias(
+                "n_drop_dup"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_validation_documents": _q_row_validation_documents,
@@ -1612,6 +1661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_documents": _q_incremental_dedup_documents,
         "host_blocklist_documents": _q_host_blocklist_documents,
         "host_stats_documents": _q_host_stats_documents,
+        "curation_url_documents": _q_curation_url_documents,
         # approximate-path queries, promoted to exact-verified /
         # recall-arithmetic oracle forms in round 4 (all 4 have
         # oracle_sql entries now)
@@ -2007,6 +2057,67 @@ def oracle_sql() -> dict[str, str]:
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                    CAST(SUM(CASE WHEN NOT f.q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_quality,
                    CAST(SUM(CASE WHEN f.q_ok AND dropped.doc_id IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_dup
+            FROM f LEFT JOIN dropped USING (doc_id)
+            GROUP BY f.source ORDER BY f.source
+        """,
+        "curation_url_documents": f"""
+            WITH RECURSIVE
+            d AS (SELECT * FROM documents WHERE doc_id < 100),
+            blk AS (SELECT doc_id, (doc_id % 7 = 3) AS blocked FROM d),
+            g AS (
+              SELECT doc_id, source,
+                     len({_WORDS}) AS n,
+                     COALESCE(list_sum(list_transform({_WORDS}, w -> length(w))) * 1.0
+                       / NULLIF(len({_WORDS}), 0), 0.0) AS mean_len,
+                     len(list_filter({_WORDS}, w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
+                     len(list_filter({_WORDS}, w -> contains(w, '...'))) AS n_ell,
+                     len(list_filter({_WORDS}, w -> list_contains(
+                       ['the','be','to','of','and','that','have','with'], w))) AS n_stop
+              FROM d),
+            f AS (
+              SELECT g.doc_id, g.source, blk.blocked,
+                     ((n >= 40 AND n <= 100000)
+                      AND (mean_len >= 4.0 AND mean_len <= 10.0)
+                      AND (n > 0 AND n_alpha * 1.0 / n >= 0.8)
+                      AND (n = 0 OR n_ell * 1.0 / n <= 0.1)
+                      AND (n_stop >= 2)) AS q_ok
+              FROM g JOIN blk USING (doc_id)),
+            sh AS (
+              SELECT DISTINCT d.doc_id, w AS shingle
+              FROM d JOIN f USING (doc_id), UNNEST({_WORDS}) AS t(w)
+              WHERE f.q_ok AND NOT f.blocked),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.8),
+            edges AS (
+              SELECT id_a AS s, id_b AS d FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+            reach AS (
+              SELECT s AS node, s AS label FROM edges
+              UNION
+              SELECT e.s, r.label FROM edges e JOIN reach r ON r.node = e.d),
+            dropped AS (
+              SELECT node AS doc_id FROM reach
+              GROUP BY node HAVING node <> MIN(label))
+            SELECT f.source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN NOT f.blocked AND f.q_ok
+                                      AND dropped.doc_id IS NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   CAST(SUM(CASE WHEN f.blocked THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_drop_blocked,
+                   CAST(SUM(CASE WHEN NOT f.blocked AND NOT f.q_ok
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_quality,
+                   CAST(SUM(CASE WHEN NOT f.blocked AND f.q_ok
+                                      AND dropped.doc_id IS NOT NULL
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_dup
             FROM f LEFT JOIN dropped USING (doc_id)
             GROUP BY f.source ORDER BY f.source

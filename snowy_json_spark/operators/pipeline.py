@@ -1,10 +1,12 @@
-"""End-to-end training-data curation: quality filter → near-dup
-keep-one, in one call.
+"""End-to-end training-data curation: optional URL blocklist →
+quality filter → near-dup keep-one, in one call.
 
-The standard curation order (public pipelines — Gopher, Dolma, CCNet):
-drop low-quality documents FIRST (cheap, pure Column), then
-deduplicate among the survivors (expensive, pairwise) so dedup never
-pays for documents that were leaving anyway.  Each stage is an
+The standard curation order (public pipelines — Gopher, Dolma, CCNet,
+RefinedWeb): drop blocked-site documents first (cheapest — a pure
+Column host-suffix match that never reads the text), then low-quality
+documents (cheap, pure Column), then deduplicate among the survivors
+(expensive, pairwise) so dedup never pays for documents that were
+leaving anyway.  Each stage is an
 already-tested operator (`text.gopher_flags`,
 `dedup.near_dup_clusters`, `dedup.dedup_representatives`); this module
 is the composition plus per-document drop attribution.
@@ -33,21 +35,35 @@ def curate_documents(
     dedup_mode: str = "word",
     shingle_k: int = 1,
     check_repetition: bool = False,
+    url_col: str | None = None,
+    blocked_domains: list[str] | None = None,
     **gopher_bounds,
 ) -> DataFrame:
     """Input columns + ``keep`` boolean + ``drop_reason``
-    (null | 'quality' | 'near_dup').
+    (null | 'blocked_url' | 'quality' | 'near_dup').
 
+    With ``blocked_domains`` (requires ``url_col``), the RefinedWeb
+    URL-filtering stage runs FIRST — it is the cheapest (pure Column
+    suffix match, no text read) and whole bad sites leave before any
+    text heuristic; blocked documents never enter quality or dedup.
     A near-dup cluster keeps exactly its minimum-id member; every other
     member is dropped with reason 'near_dup'.  Documents failing any
     Gopher rule (plus, with ``check_repetition``, the dup-line /
     top-bigram repetition rules) drop with reason 'quality' and never
     enter dedup."""
+    if blocked_domains is not None and url_col is None:
+        raise ValueError("blocked_domains requires url_col")
+    if blocked_domains is not None:
+        from .urls import blocked_domain_match
+
+        url_ok = blocked_domain_match(F.col(url_col), blocked_domains).isNull()
+    else:
+        url_ok = F.lit(True)
     quality_ok = gopher_flags(F.col(text_col), **gopher_bounds)["keep"]
     if check_repetition:
         quality_ok = quality_ok & repetition_flags(F.col(text_col))["keep"]
-    flagged = df.withColumn("_q_ok", quality_ok)
-    survivors = flagged.filter(F.col("_q_ok"))
+    flagged = df.withColumns({"_u_ok": url_ok, "_q_ok": quality_ok})
+    survivors = flagged.filter(F.col("_u_ok") & F.col("_q_ok"))
     clusters = near_dup_clusters(
         survivors,
         id_col,
@@ -67,8 +83,9 @@ def curate_documents(
     out = flagged.join(dropped_dups, id_col, "left")
     return out.select(
         *df.columns,
-        (F.col("_q_ok") & F.col("_is_dup").isNull()).alias("keep"),
-        F.when(~F.col("_q_ok"), F.lit("quality"))
+        (F.col("_u_ok") & F.col("_q_ok") & F.col("_is_dup").isNull()).alias("keep"),
+        F.when(~F.col("_u_ok"), F.lit("blocked_url"))
+        .when(~F.col("_q_ok"), F.lit("quality"))
         .when(F.col("_is_dup"), F.lit("near_dup"))
         .alias("drop_reason"),
     )

@@ -55,3 +55,46 @@ def test_repetition_stage_optional(spark):
     assert base[1] is True          # passes plain gopher rules
     assert strict[1] == (False, "quality")  # repetition stage catches it
     assert strict[0] == (True, None)
+
+
+def test_url_blocklist_stage(spark):
+    import pytest
+
+    rows = [
+        (0, GOOD, "https://good.site/a"),        # kept
+        (1, GOOD, "https://spam.bad.org/x"),     # blocked subdomain
+        (2, GOOD, "https://bad.org/y"),          # blocked exact host
+        (3, "tiny", "https://bad.org/z"),        # blocked wins over quality
+        (4, "tiny", "https://good.site/b"),      # quality
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    cur = curate_documents(
+        df, "doc_id", "text", min_words=20,
+        url_col="url", blocked_domains=["bad.org"],
+    )
+    got = {r["doc_id"]: (r["keep"], r["drop_reason"]) for r in cur.collect()}
+    assert got[0] == (True, None)
+    assert got[1] == (False, "blocked_url")
+    assert got[2] == (False, "blocked_url")
+    assert got[3] == (False, "blocked_url")  # URL stage runs first
+    assert got[4] == (False, "quality")
+    assert set(cur.columns) == {"doc_id", "text", "url", "keep", "drop_reason"}
+    with pytest.raises(ValueError):
+        curate_documents(df, "doc_id", "text", blocked_domains=["bad.org"])
+
+
+def test_blocked_docs_never_reach_dedup(spark):
+    # a blocked doc identical to a kept doc must not drag the kept doc
+    # (or a twin) into a near_dup cluster
+    rows = [
+        (0, GOOD, "https://good.site/a"),
+        (1, GOOD, "https://bad.org/x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    cur = curate_documents(
+        df, "doc_id", "text", min_words=20,
+        url_col="url", blocked_domains=["bad.org"],
+    )
+    got = {r["doc_id"]: (r["keep"], r["drop_reason"]) for r in cur.collect()}
+    assert got[0] == (True, None)
+    assert got[1] == (False, "blocked_url")
