@@ -1609,6 +1609,34 @@ def _q_curation_url_documents(spark, sf_dir):
     )
 
 
+def _q_mixture_sample_documents(spark, sf_dir):
+    """Deterministic stratified training-mix sampling
+    (sampling.stratified_sample: keep ⇔ substr(md5(key||':'||seed),1,4)
+    < hex(⌊f·16⁴⌋), one codegen'd CASE, zero shuffle): per-source kept
+    counts and doc_id checksums at per-stratum rates — the DuckDB
+    oracle applies the identical md5-prefix rule, so a single document
+    selected differently (partitioning-dependent RNG, rate drift,
+    wrong threshold rounding) breaks the checksum."""
+    from snowy_json_spark.operators.sampling import stratified_sample
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "k", F.concat(F.lit("doc:"), F.col("doc_id").cast("string"))
+    )
+    out = stratified_sample(
+        docs, "k", "source",
+        {"src1": 1.0, "src2": 0.5, "src3": 0.25},
+        default_fraction=0.05, seed="mix",
+    )
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_validation_documents": _q_row_validation_documents,
@@ -1662,6 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_blocklist_documents": _q_host_blocklist_documents,
         "host_stats_documents": _q_host_stats_documents,
         "curation_url_documents": _q_curation_url_documents,
+        "mixture_sample_documents": _q_mixture_sample_documents,
         # approximate-path queries, promoted to exact-verified /
         # recall-arithmetic oracle forms in round 4 (all 4 have
         # oracle_sql entries now)
@@ -2284,6 +2313,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN szc sb ON sb.doc_id = old_id
             WHERE ni * 1.0 / (sa.n + sb.n - ni) >= 0.8
             ORDER BY new_id, old_id
+        """,
+        "mixture_sample_documents": """
+            WITH s AS (
+              SELECT source, doc_id,
+                     substr(md5('doc:' || CAST(doc_id AS VARCHAR) || ':mix'),
+                            1, 4) AS b
+              FROM documents),
+            kept AS (
+              SELECT source, doc_id FROM s
+              WHERE CASE source
+                      WHEN 'src1' THEN TRUE
+                      WHEN 'src2' THEN b < '8000'
+                      WHEN 'src3' THEN b < '4000'
+                      ELSE b < '0ccc'
+                    END)
+            SELECT source, COUNT(*) AS n_kept,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_sum
+            FROM kept GROUP BY source ORDER BY source
         """,
         "host_blocklist_documents": """
             WITH v AS (
