@@ -1637,6 +1637,38 @@ def _q_mixture_sample_documents(spark, sf_dir):
     )
 
 
+def _q_bloom_seen_documents(spark, sf_dir):
+    """Bloom-filter seen-set (operators/bloom.py): a filter built over
+    the doc_id%3==0 urls is probed by the whole corpus.  The oracle
+    pins the two guarantees that ARE deterministic: zero false
+    negatives (every member flags — n_members_flagged == n_members
+    from doc_id arithmetic) and the false-positive rate staying under
+    3× the 1% design point (xxhash64 is seeded/stable, so the fp count
+    is reproducible; the boolean bound is what SQL can assert)."""
+    from snowy_json_spark.operators.bloom import bloom_params, build_bloom, seen_flags
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "url", F.concat(F.lit("u:"), F.col("doc_id").cast("string"))
+    )
+    members = docs.filter(F.col("doc_id") % 3 == 0)
+    m, k = bloom_params(max(members.count(), 1), 0.01)
+    bm = build_bloom(members, "url", m, k)
+    flagged = seen_flags(docs, "url", bm, m, k).select(
+        (F.col("doc_id") % 3 == 0).alias("is_member"), "seen"
+    )
+    return flagged.agg(
+        F.sum(F.col("is_member").cast("long")).alias("n_members"),
+        F.sum((F.col("is_member") & F.col("seen")).cast("long")).alias(
+            "n_members_flagged"
+        ),
+        F.sum((~F.col("is_member")).cast("long")).alias("n_nonmembers"),
+        (
+            F.sum((~F.col("is_member") & F.col("seen")).cast("long"))
+            <= F.sum((~F.col("is_member")).cast("long")) * 0.03
+        ).alias("fp_ok"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_validation_documents": _q_row_validation_documents,
@@ -1691,6 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats_documents": _q_host_stats_documents,
         "curation_url_documents": _q_curation_url_documents,
         "mixture_sample_documents": _q_mixture_sample_documents,
+        "bloom_seen_documents": _q_bloom_seen_documents,
         # approximate-path queries, promoted to exact-verified /
         # recall-arithmetic oracle forms in round 4 (all 4 have
         # oracle_sql entries now)
@@ -2313,6 +2346,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN szc sb ON sb.doc_id = old_id
             WHERE ni * 1.0 / (sa.n + sb.n - ni) >= 0.8
             ORDER BY new_id, old_id
+        """,
+        "bloom_seen_documents": """
+            SELECT CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_members,
+                   CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_members_flagged,
+                   CAST(SUM(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_nonmembers,
+                   TRUE AS fp_ok
+            FROM documents
         """,
         "mixture_sample_documents": """
             WITH s AS (
