@@ -1669,6 +1669,35 @@ def _q_bloom_seen_documents(spark, sf_dir):
     )
 
 
+def _q_token_mixture_documents(spark, sf_dir):
+    """Token-budget mixture sampling (sampling.token_budget_sample):
+    per-source fractions are DERIVED from the data — min(budget /
+    Σn_chars, 1) — then applied by the md5-bucket rule, so the oracle
+    recomputes both the fraction arithmetic (identical IEEE double
+    ops over integer totals) and the per-document selection.  src1's
+    budget exceeds its supply (fraction 1.0), src2 gets ~60%, src3
+    ~25%, everything else 0."""
+    from snowy_json_spark.operators.sampling import token_budget_sample
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "k", F.concat(F.lit("doc:"), F.col("doc_id").cast("string"))
+    )
+    out = token_budget_sample(
+        docs, "k", "source", "n_chars",
+        {"src1": 10_000_000, "src2": 40_000, "src3": 17_000},
+        seed="budget",
+    )
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("chars_kept"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_validation_documents": _q_row_validation_documents,
@@ -1724,6 +1753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_url_documents": _q_curation_url_documents,
         "mixture_sample_documents": _q_mixture_sample_documents,
         "bloom_seen_documents": _q_bloom_seen_documents,
+        "token_mixture_documents": _q_token_mixture_documents,
         # approximate-path queries, promoted to exact-verified /
         # recall-arithmetic oracle forms in round 4 (all 4 have
         # oracle_sql entries now)
@@ -2346,6 +2376,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN szc sb ON sb.doc_id = old_id
             WHERE ni * 1.0 / (sa.n + sb.n - ni) >= 0.8
             ORDER BY new_id, old_id
+        """,
+        "token_mixture_documents": """
+            WITH totals AS (
+              SELECT source, SUM(n_chars) AS tot FROM documents GROUP BY source),
+            fr AS (
+              SELECT source,
+                     CASE source
+                       WHEN 'src1' THEN LEAST(10000000 * 1.0 / tot, 1.0)
+                       WHEN 'src2' THEN LEAST(40000 * 1.0 / tot, 1.0)
+                       WHEN 'src3' THEN LEAST(17000 * 1.0 / tot, 1.0)
+                       ELSE 0.0
+                     END AS f
+              FROM totals),
+            kept AS (
+              SELECT d.source, d.doc_id, d.n_chars
+              FROM documents d JOIN fr USING (source)
+              WHERE fr.f >= 1.0
+                 OR substr(md5('doc:' || CAST(d.doc_id AS VARCHAR) || ':budget'),
+                           1, 4)
+                    < printf('%04x', CAST(floor(fr.f * 65536) AS INTEGER)))
+            SELECT source, COUNT(*) AS n_kept,
+                   CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_sum
+            FROM kept GROUP BY source ORDER BY source
         """,
         "bloom_seen_documents": """
             SELECT CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)

@@ -111,3 +111,47 @@ def train_test_split(
             keep_fraction(F.col(key_col), test_fraction, seed), F.lit("test")
         ).otherwise(F.lit("train")),
     )
+
+
+def budget_fractions(
+    df: DataFrame,
+    stratum_col: str,
+    weight_col: str,
+    budgets: dict[str, int],
+) -> dict[str, float]:
+    """Per-stratum sampling fractions that hit a WEIGHT budget (token
+    counts, bytes): ``min(budget / stratum_total, 1.0)``, floored to
+    the md5-bucket granularity by the samplers that consume it.
+
+    One partial-aggregated scan (shuffle rows ∝ strata); totals are
+    integers so the fraction arithmetic is exactly reproducible by an
+    oracle.  Strata absent from ``budgets`` get 0.0 — a mixture takes
+    only what it asked for."""
+    totals = {
+        r["s"]: r["w"]
+        for r in df.groupBy(F.col(stratum_col).alias("s"))
+        .agg(F.sum(F.col(weight_col)).alias("w"))
+        .collect()
+    }
+    return {
+        s: min(b / totals[s], 1.0) if totals.get(s) else 0.0
+        for s, b in budgets.items()
+    }
+
+
+def token_budget_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    weight_col: str,
+    budgets: dict[str, int],
+    seed: str = "budget",
+) -> DataFrame:
+    """Deterministic mixture sampling to per-stratum WEIGHT budgets
+    (the "2T tokens: 60% web, 20% code, 20% books" construction):
+    fractions from :func:`budget_fractions`, selection by the
+    reproducible md5-bucket rule of :func:`stratified_sample`.  In
+    expectation each stratum contributes ≈ its budget; the selected
+    SET is a pure function of (corpus, budgets, seed)."""
+    fr = budget_fractions(df, stratum_col, weight_col, budgets)
+    return stratified_sample(df, key_col, stratum_col, fr, 0.0, seed)

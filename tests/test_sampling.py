@@ -101,3 +101,24 @@ def test_sampling_plan_is_scan_local(spark, tmp_path):
     plan = buf.getvalue()
     assert "Exchange" not in plan, "sampling must not shuffle"
     assert "IsNotNull(k)" in plan, "null-key filter not pushed to scan"
+
+
+def test_token_budget_sample(spark):
+    from snowy_json_spark.operators.sampling import (
+        budget_fractions,
+        token_budget_sample,
+    )
+
+    rows = [(f"k{i}", "web" if i % 2 == 0 else "code", 100) for i in range(4000)]
+    df = spark.createDataFrame(rows, "k string, s string, tokens long")
+    # web total = 200_000; code total = 200_000
+    fr = budget_fractions(df, "s", "tokens", {"web": 50_000, "code": 500_000, "books": 10})
+    assert fr["web"] == pytest.approx(0.25)
+    assert fr["code"] == 1.0          # budget exceeds supply -> take all
+    assert fr["books"] == 0.0         # stratum absent from corpus
+    out = token_budget_sample(df, "k", "s", "tokens", {"web": 50_000, "code": 500_000})
+    got = {}
+    for r in out.collect():
+        got[r["s"]] = got.get(r["s"], 0) + r["tokens"]
+    assert got["code"] == 200_000
+    assert 40_000 < got["web"] < 60_000   # ~budget in expectation
