@@ -26,6 +26,8 @@ Workload (mirrors the north-star surface):
 - q_minhash        : MinHash+LSH near-dup sweep over documents.
 - q_simhash        : SimHash near-dup sweep over documents.
 - q_ann            : brute-force cosine top-k over embeddings.
+- q_curation       : one-scan pure-Column curation decision over the
+  pages table (blocklist + gopher quality + mixture sample).
 """
 
 from __future__ import annotations
@@ -225,6 +227,25 @@ def main() -> None:
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     qvec = [float(x) for x in emb.first()["embedding"]]
     timed("q_ann", lambda: brute_force_topk(emb, "embedding", qvec, k=10).collect())
+
+    # -- q_curation: one-scan pure-Column curation decision over the 1M
+    # pages table (host blocklist suffix match + gopher quality rules +
+    # deterministic mixture-sample keep) — the LLM-pipeline scan path
+    from snowy_json_spark.operators.sampling import keep_fraction
+    from snowy_json_spark.operators.text import gopher_flags
+    from snowy_json_spark.operators.urls import blocked_domain_match
+
+    def run_curation():
+        keep = (
+            blocked_domain_match(
+                F.col("url"), ["ads.example.com", "tracker.net", "spam.org"]
+            ).isNull()
+            & gopher_flags(F.col("text"))["keep"]
+            & keep_fraction(F.col("url"), 0.5, "bench")
+        )
+        return pages.filter(keep).count()
+
+    timed("q_curation", run_curation)
 
     total = round(sum(timings.values()), 3)
     print(

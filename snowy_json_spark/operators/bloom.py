@@ -70,15 +70,19 @@ def build_bloom(
 ) -> bytes:
     """Driver-held bitmap (``m_bits/8`` bytes) over the non-null keys.
 
-    One scan: positions explode JVM-side to a flat long column,
-    coalesce to ≤ ``max_partials`` partitions, and each partition's
-    ``mapInPandas`` accumulates a numpy bitmap over its Arrow batches,
-    yielding it once; the ≤ ``max_partials`` partials OR-merge here."""
+    One scan at FULL parallelism: positions explode JVM-side to a flat
+    long column and every natural input partition accumulates its own
+    numpy bitmap over its Arrow batches, emitting it once.  The
+    per-partition partials then tree-merge executor-side — a
+    round-robin repartition to ≤ ``max_partials`` tasks, each OR-ing
+    its share — so the driver collects at most ``max_partials``
+    bitmaps however many input splits the scan had (the same
+    treeAggregate shape Spark's own sketches use; never throttle the
+    scan to the partial count)."""
     pos = (
         df.select(F.col(key_col).alias("_k"))
         .filter(F.col("_k").isNotNull())
         .select(F.explode(F.array(*bit_positions(F.col("_k"), m_bits, k, seed))).alias("pos"))
-        .coalesce(max_partials)
     )
     n_bytes = m_bits // 8
 
@@ -89,7 +93,19 @@ def build_bloom(
             np.bitwise_or.at(bm, p >> 3, np.left_shift(1, (p & 7)).astype(np.uint8))
         yield pd.DataFrame({"bm": [bm.tobytes()]})
 
-    partials = pos.mapInPandas(partial, "bm binary").collect()
+    def or_merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bm = np.zeros(n_bytes, dtype=np.uint8)
+        for b in batches:
+            for raw in b["bm"]:
+                bm |= np.frombuffer(raw, dtype=np.uint8)
+        yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    partials = (
+        pos.mapInPandas(partial, "bm binary")
+        .repartition(max_partials)
+        .mapInPandas(or_merge, "bm binary")
+        .collect()
+    )
     out = np.zeros(n_bytes, dtype=np.uint8)
     for row in partials:
         out |= np.frombuffer(row["bm"], dtype=np.uint8)

@@ -208,13 +208,13 @@ def flag_blocked_hosts(
     if n_blocked is not None:
         spark = df.sparkSession
         blocked_df = spark.createDataFrame([(d,) for d in blocked], "_dom string")
-    suf = (
-        df.select(F.col(url_col).alias("_u"))
-        .distinct()
-        .select(
-            "_u",
-            F.posexplode(host_suffixes(url_host(F.col("_u")))).alias("_pos", "_dom"),
-        )
+    # no distinct on the probe side: urls are the (near-unique) corpus
+    # key, so deduplicating them first would be a corpus-wide shuffle
+    # for nothing — the post-join groupBy collapses any repeats, and it
+    # only ever sees HIT rows (small by construction)
+    suf = df.select(
+        F.col(url_col).alias("_u"),
+        F.posexplode(host_suffixes(url_host(F.col(url_col)))).alias("_pos", "_dom"),
     )
     hits = (
         suf.join(F.broadcast(blocked_df), "_dom")
@@ -250,16 +250,22 @@ def host_stats(
     """Per-host corpus profile: ``(host, n_docs, n_urls, total_chars,
     mean_chars, n_null_text)``.
 
-    Skew is the design point: a crawl's host distribution is Zipfian
-    (one CDN host can own 10^8 of 10^12 pages), so a naive
-    ``groupBy(host)`` sends a hot host to one reducer.  Stage 1
-    partial-aggregates on ``(host, pmod(xxhash64(url), n_buckets))`` —
-    the hot host fans out over ``n_buckets`` reducers — and stage 2
-    merges the per-bucket partials, shuffling ≤ ``n_buckets`` small
-    rows per host.  ``n_urls`` stays EXACT through the split because
-    the salt is a hash of the url itself: equal urls land in the same
-    bucket, so per-bucket distinct sets are disjoint and their counts
-    sum.  ``mean_chars`` counts null text as 0 chars (matches
+    Skew note, measured honestly (scripts/bench_skew.py): for THESE
+    aggregates Catalyst already plans skew-safely — count/sum partials
+    combine map-side, and a lone ``count_distinct`` two-phases keyed on
+    (host, url), so the hot host's urls spread in phase 1 either way.
+    The explicit ``(host, pmod(xxhash64(url), n_buckets))`` stage-1 key
+    here is a structural guarantee rather than a speedup: reducer input
+    stays ≤ rows/n_buckets per (host, bucket) REGARDLESS of the
+    aggregate list, so extending this profile with a holistic aggregate
+    (collect_set, exact percentile — which cannot two-phase) cannot
+    recreate the hot-reducer.  ``n_urls`` stays EXACT through the split
+    because the salt is a hash of the url itself: equal urls land in
+    the same bucket, so per-bucket distinct sets are disjoint and their
+    counts sum.  For the per-key operation that genuinely DOES skew
+    unmitigated (windowed top-k per host), see
+    :func:`snowy_json_spark.operators.topk.top_k_per_key`.
+    ``mean_chars`` counts null text as 0 chars (matches
     ``n_null_text`` being reported alongside)."""
     stage1 = (
         df.select(

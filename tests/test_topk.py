@@ -1,0 +1,116 @@
+"""Skew-safe per-key top-k: exact equality with the naive window plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from snowy_json_spark.operators.topk import domain_cap, top_k_per_key
+
+
+def _skewed(spark, n=2000, n_keys=7):
+    # key 'k0' owns half the rows; scores collide heavily so the
+    # tiebreaker path is exercised
+    return spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit("k0"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % n_keys).cast("string")))
+        .alias("key"),
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 13).cast("double").alias("score"),
+    )
+
+
+def _naive(df, key, order, k):
+    w = Window.partitionBy(key).orderBy(*order)
+    return (
+        df.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+    )
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_matches_naive_window_exactly(spark):
+    df = _skewed(spark)
+    order = [F.col("score").desc(), F.col("doc_id").asc()]
+    for k in (1, 5, 40):
+        got = top_k_per_key(df, "key", order, k, salt_col="doc_id", n_buckets=8)
+        assert rows(got) == rows(_naive(df, "key", order, k))
+
+
+def test_k_larger_than_group_keeps_all(spark):
+    df = _skewed(spark, n=60)
+    order = [F.col("score").desc(), F.col("doc_id").asc()]
+    got = top_k_per_key(df, "key", order, 10_000, salt_col="doc_id")
+    assert got.count() == 60
+
+
+def test_single_bucket_degenerates_to_naive(spark):
+    df = _skewed(spark, n=200)
+    order = [F.col("score").asc(), F.col("doc_id").desc()]
+    got = top_k_per_key(df, "key", order, 3, salt_col="doc_id", n_buckets=1)
+    assert rows(got) == rows(_naive(df, "key", order, 3))
+
+
+def test_rank_col_is_global_rank(spark):
+    df = _skewed(spark, n=400)
+    order = [F.col("score").desc(), F.col("doc_id").asc()]
+    got = top_k_per_key(
+        df, "key", order, 5, salt_col="doc_id", n_buckets=4, rank_col="rank"
+    ).collect()
+    naive = {
+        (r["key"], r["doc_id"]): r["_r"]
+        for r in _naive(df, "key", order, 5)
+        .withColumn("_r", F.row_number().over(Window.partitionBy("key").orderBy(*order)))
+        .collect()
+    }
+    assert len(got) == len(naive)
+    for r in got:
+        assert 1 <= r["rank"] <= 5
+        assert naive[(r["key"], r["doc_id"])] == r["rank"]
+
+
+def test_k_must_be_positive(spark):
+    df = _skewed(spark, n=10)
+    try:
+        top_k_per_key(df, "key", [F.col("score")], 0)
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("k=0 should raise")
+
+
+def test_domain_cap_caps_per_host(spark):
+    df = spark.range(300).select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("id") % 3).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("id").cast("string"),
+        ).alias("url"),
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 11).cast("double").alias("score"),
+    )
+    out = domain_cap(df, "url", "score", 7, id_col="doc_id", n_buckets=4)
+    counts = out.groupBy(
+        F.regexp_extract("url", r"https://([^/]+)/", 1).alias("host")
+    ).count().collect()
+    assert len(counts) == 3
+    assert all(r["count"] == 7 for r in counts)
+    # schema passes through unchanged (no helper columns leak)
+    assert out.columns == df.columns
+    # deterministic: best scores kept, ties broken by doc_id
+    kept = {r["doc_id"] for r in out.collect()}
+    w = Window.partitionBy(
+        F.regexp_extract("url", r"https://([^/]+)/", 1)
+    ).orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    expect = {
+        r["doc_id"]
+        for r in df.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= 7)
+        .collect()
+    }
+    assert kept == expect
