@@ -1698,6 +1698,151 @@ def _q_token_mixture_documents(spark, sf_dir):
     )
 
 
+def _q_domain_cap_documents(spark, sf_dir):
+    """Skew-safe domain cap (topk.domain_cap → top_k_per_key, the
+    FineWeb-style per-host contribution limit): hosts are synthesized
+    from doc_id arithmetic (``h{d%5}.example.com``), the score is
+    ``coalesce(length(text),0) % 50`` so ties are common and the
+    doc_id tiebreaker path is exercised, and the two-stage bucketed
+    window (n_buckets=8) must emit exactly the rows a plain
+    ``row_number() OVER (PARTITION BY host ORDER BY score DESC,
+    doc_id)`` keeps — the oracle runs that window verbatim."""
+    from snowy_json_spark.operators.topk import domain_cap
+
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"),
+            (d % 5).cast("string"),
+            F.lit(".example.com/p/"),
+            d.cast("string"),
+        ).alias("url"),
+        (F.coalesce(F.length("text"), F.lit(0)) % 50)
+        .cast("double")
+        .alias("score"),
+    )
+    capped = domain_cap(docs, "url", "score", 7, id_col="doc_id", n_buckets=8)
+    return capped.select("doc_id", "score").orderBy("doc_id")
+
+
+def _packing_input(spark, sf_dir):
+    """Shared input for the packing queries: synthetic token counts
+    from n_chars arithmetic (spans 1..401, so ctx=256 produces both
+    multi-doc packs and oversize docs) and an explicit arithmetic
+    shard (doc_id % 4) the oracle reproduces without xxhash64."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.coalesce(F.col("n_chars"), F.lit(0)) % 401 + 1).alias("n_tokens"),
+        (F.col("doc_id") % 4).cast("int").alias("shard"),
+    )
+    return docs
+
+
+def _q_chunk_spans_documents(spark, sf_dir):
+    """Concat-and-chunk packing metadata (packing.chunk_spans, the
+    GPT-style pretraining layout): per document, its token offset in
+    the shard stream and the chunk span it covers, from one window
+    cumulative sum per shard — the oracle runs the identical window
+    arithmetic in SQL."""
+    from snowy_json_spark.operators.packing import chunk_spans
+
+    return chunk_spans(
+        _packing_input(spark, sf_dir), "doc_id", "n_tokens", 256,
+        shard_col="shard",
+    ).orderBy("shard", "doc_id")
+
+
+def _q_greedy_pack_documents(spark, sf_dir):
+    """Greedy first-fit packing (packing.greedy_pack, documents never
+    split): the sequential per-shard fold runs as one applyInPandas
+    group per shard; the oracle replays the same fold as a DuckDB
+    recursive CTE over rows ordered by doc_id within shard, so pack
+    ids, in-pack offsets and oversize flags must match exactly."""
+    from snowy_json_spark.operators.packing import greedy_pack
+
+    return greedy_pack(
+        _packing_input(spark, sf_dir), "doc_id", "n_tokens", 256,
+        shard_col="shard",
+    ).orderBy("shard", "doc_id")
+
+
+def _q_warc_roundtrip_documents(spark, sf_dir):
+    """WARC source round-trip (sources/warc.py): each doc_id%4 bucket
+    serializes its documents (ordered by doc_id) into one WARC byte
+    stream via build_warc — even buckets per-record-gzip'd like
+    Common Crawl, odd buckets plain — then parses it back with the
+    same reader read_warc uses, emitting per-record fields.  The
+    oracle reproduces url / timestamp / HTTP status / utf-8 payload
+    byte length from table arithmetic, so any framing, gzip-member,
+    HTTP-envelope or unicode defect breaks the match."""
+    import pandas as pd
+
+    from snowy_json_spark.sources.warc import build_warc, parse_warc_blob
+
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "text", (F.col("doc_id") % 4).cast("int").alias("bucket"))
+    )
+
+    def roundtrip(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        bucket = int(pdf["bucket"].iloc[0])
+        recs = [
+            {
+                "rec_type": "response",
+                "url": f"https://w.example.com/p/{int(d)}",
+                "warc_ts": f"2026-01-02T03:04:{int(d) % 60:02d}Z",
+                "payload": (t if isinstance(t, str) else ""),
+            }
+            for d, t in zip(pdf["doc_id"], pdf["text"])
+        ]
+        blob = build_warc(recs, compress=(bucket % 2 == 0))
+        out = [
+            {
+                "doc_id": int(r["url"].rsplit("/", 1)[-1]),
+                "url": r["url"],
+                "warc_ts": r["warc_ts"],
+                "rec_type": r["rec_type"],
+                "http_status": r["http_status"],
+                "payload_len": len(r["payload"]),
+            }
+            for r in parse_warc_blob(blob, f"bucket{bucket}")
+        ]
+        return pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, url string, warc_ts string, rec_type string, "
+        "http_status int, payload_len long"
+    )
+    return (
+        docs.groupBy("bucket").applyInPandas(roundtrip, schema).orderBy("doc_id")
+    )
+
+
+def _q_lm_perplexity_documents(spark, sf_dir):
+    """CCNet-style LM perplexity scoring (operators/lm.py): a unigram
+    Laplace model (vocab 50, α=1) is TRAINED on the documents corpus
+    and every document scored against it — explode → broadcast model
+    join → re-aggregate, no UDF.  The oracle retrains the identical
+    model in SQL (same wordcount, same deterministic (count desc,
+    word) vocabulary cut, same ln((c+α)/(N+α(V+1))) arithmetic) and
+    rescoring must agree to 6 decimals of cross-entropy; empty/null
+    documents keep rows with n_words 0 and null scores."""
+    from snowy_json_spark.operators.lm import score_documents, train_word_lm
+
+    docs = _docs(spark, sf_dir)
+    vocab, meta = train_word_lm(docs, "text", vocab_size=50, alpha=1.0)
+    out = score_documents(docs, "doc_id", "text", vocab, meta["oov_logp"])
+    return out.select(
+        "doc_id",
+        "n_words",
+        F.round("cross_entropy", 6).alias("cross_entropy"),
+        F.round("perplexity", 3).alias("perplexity"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_validation_documents": _q_row_validation_documents,
@@ -1754,6 +1899,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample_documents": _q_mixture_sample_documents,
         "bloom_seen_documents": _q_bloom_seen_documents,
         "token_mixture_documents": _q_token_mixture_documents,
+        "domain_cap_documents": _q_domain_cap_documents,
+        "chunk_spans_documents": _q_chunk_spans_documents,
+        "greedy_pack_documents": _q_greedy_pack_documents,
+        "warc_roundtrip_documents": _q_warc_roundtrip_documents,
+        "lm_perplexity_documents": _q_lm_perplexity_documents,
         # approximate-path queries, promoted to exact-verified /
         # recall-arithmetic oracle forms in round 4 (all 4 have
         # oracle_sql entries now)
@@ -2400,6 +2550,112 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
                    CAST(SUM(doc_id) AS BIGINT) AS id_sum
             FROM kept GROUP BY source ORDER BY source
+        """,
+        "lm_perplexity_documents": f"""
+            WITH w AS (
+              SELECT doc_id, unnest({_WORDS}) AS word FROM documents),
+            cnt AS (SELECT word, COUNT(*) AS c FROM w GROUP BY word),
+            tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM cnt),
+            top AS (SELECT word, c FROM cnt
+                    ORDER BY c DESC, word ASC LIMIT 50),
+            vc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM top),
+            model AS (
+              SELECT word, ln((c + 1.0) / (tot.n + 1.0 * (vc.v + 1))) AS logp
+              FROM top, tot, vc),
+            oov AS (
+              SELECT ln(1.0 / (tot.n + 1.0 * (vc.v + 1))) AS logp
+              FROM tot, vc),
+            sc AS (
+              SELECT w.doc_id, COUNT(*) AS n_words,
+                     SUM(COALESCE(m.logp, (SELECT logp FROM oov))) AS logprob
+              FROM w LEFT JOIN model m USING (word)
+              GROUP BY w.doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(sc.n_words, 0) AS BIGINT) AS n_words,
+                   ROUND(CASE WHEN sc.n_words > 0
+                              THEN -sc.logprob / sc.n_words END, 6)
+                     AS cross_entropy,
+                   ROUND(CASE WHEN sc.n_words > 0
+                              THEN exp(-sc.logprob / sc.n_words) END, 3)
+                     AS perplexity
+            FROM documents d LEFT JOIN sc USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "warc_roundtrip_documents": """
+            SELECT doc_id,
+                   'https://w.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+                   '2026-01-02T03:04:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+                     || 'Z' AS warc_ts,
+                   'response' AS rec_type,
+                   CAST(200 AS INTEGER) AS http_status,
+                   CAST(strlen(COALESCE(text, '')) AS BIGINT) AS payload_len
+            FROM documents WHERE doc_id < 40 ORDER BY doc_id
+        """,
+        "chunk_spans_documents": """
+            WITH s AS (
+              SELECT doc_id,
+                     COALESCE(n_chars, 0) % 401 + 1 AS n_tokens,
+                     CAST(doc_id % 4 AS INTEGER) AS shard
+              FROM documents),
+            c AS (
+              SELECT shard, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS start_off
+              FROM s)
+            SELECT shard, doc_id, n_tokens, start_off,
+                   CAST(start_off // 256 AS BIGINT) AS first_chunk,
+                   CAST(GREATEST(start_off // 256,
+                                 (start_off + n_tokens - 1) // 256) AS BIGINT)
+                     AS last_chunk,
+                   CAST(GREATEST(start_off // 256,
+                                 (start_off + n_tokens - 1) // 256)
+                        - start_off // 256 + 1 AS BIGINT) AS n_chunks
+            FROM c ORDER BY shard, doc_id
+        """,
+        "greedy_pack_documents": """
+            WITH RECURSIVE s AS (
+              SELECT CAST(doc_id % 4 AS INTEGER) AS shard, doc_id,
+                     CAST(COALESCE(n_chars, 0) % 401 + 1 AS BIGINT) AS n_tokens
+              FROM documents),
+            d AS (
+              SELECT shard, doc_id, n_tokens,
+                     row_number() OVER (PARTITION BY shard ORDER BY doc_id)
+                       AS rn
+              FROM s),
+            g AS (
+              SELECT shard, doc_id, n_tokens, rn,
+                     CAST(0 AS BIGINT) AS pack_id,
+                     CAST(0 AS BIGINT) AS pack_off,
+                     n_tokens AS acc
+              FROM d WHERE rn = 1
+              UNION ALL
+              SELECT d.shard, d.doc_id, d.n_tokens, d.rn,
+                     CASE WHEN g.acc + d.n_tokens > 256
+                          THEN g.pack_id + 1 ELSE g.pack_id END,
+                     CASE WHEN g.acc + d.n_tokens > 256
+                          THEN CAST(0 AS BIGINT) ELSE g.acc END,
+                     CASE WHEN g.acc + d.n_tokens > 256
+                          THEN d.n_tokens ELSE g.acc + d.n_tokens END
+              FROM g JOIN d ON d.shard = g.shard AND d.rn = g.rn + 1)
+            SELECT shard, doc_id, n_tokens, pack_id, pack_off,
+                   n_tokens > 256 AS oversize
+            FROM g ORDER BY shard, doc_id
+        """,
+        "domain_cap_documents": """
+            WITH s AS (
+              SELECT doc_id,
+                     CAST(COALESCE(length(text), 0) % 50 AS DOUBLE) AS score,
+                     doc_id % 5 AS host
+              FROM documents),
+            r AS (
+              SELECT doc_id, score,
+                     row_number() OVER (
+                       PARTITION BY host ORDER BY score DESC, doc_id ASC
+                     ) AS rn
+              FROM s)
+            SELECT doc_id, score FROM r WHERE rn <= 7 ORDER BY doc_id
         """,
         "bloom_seen_documents": """
             SELECT CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)

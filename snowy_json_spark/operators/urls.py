@@ -262,9 +262,11 @@ def host_stats(
     recreate the hot-reducer.  ``n_urls`` stays EXACT through the split
     because the salt is a hash of the url itself: equal urls land in
     the same bucket, so per-bucket distinct sets are disjoint and their
-    counts sum.  For the per-key operation that genuinely DOES skew
-    unmitigated (windowed top-k per host), see
-    :func:`snowy_json_spark.operators.topk.top_k_per_key`.
+    counts sum.  The windowed per-host top-k looked like the next
+    skew case but measured as already-mitigated too (Spark ≥ 3.5's
+    InferWindowGroupLimit) — see
+    :mod:`snowy_json_spark.operators.topk` for that measurement and
+    the structural fallback.
     ``mean_chars`` counts null text as 0 chars (matches
     ``n_null_text`` being reported alongside)."""
     stage1 = (

@@ -37,22 +37,48 @@ def test_matches_naive_window_exactly(spark):
     df = _skewed(spark)
     order = [F.col("score").desc(), F.col("doc_id").asc()]
     for k in (1, 5, 40):
-        got = top_k_per_key(df, "key", order, k, salt_col="doc_id", n_buckets=8)
-        assert rows(got) == rows(_naive(df, "key", order, k))
+        for impl in ("window", "two_stage"):
+            got = top_k_per_key(df, "key", order, k, salt_col="doc_id",
+                                n_buckets=8, impl=impl)
+            assert rows(got) == rows(_naive(df, "key", order, k)), (k, impl)
 
 
 def test_k_larger_than_group_keeps_all(spark):
     df = _skewed(spark, n=60)
     order = [F.col("score").desc(), F.col("doc_id").asc()]
-    got = top_k_per_key(df, "key", order, 10_000, salt_col="doc_id")
-    assert got.count() == 60
+    for impl in ("window", "two_stage"):
+        got = top_k_per_key(df, "key", order, 10_000, salt_col="doc_id",
+                            impl=impl)
+        assert got.count() == 60
 
 
 def test_single_bucket_degenerates_to_naive(spark):
     df = _skewed(spark, n=200)
     order = [F.col("score").asc(), F.col("doc_id").desc()]
-    got = top_k_per_key(df, "key", order, 3, salt_col="doc_id", n_buckets=1)
+    got = top_k_per_key(df, "key", order, 3, salt_col="doc_id", n_buckets=1,
+                        impl="two_stage")
     assert rows(got) == rows(_naive(df, "key", order, 3))
+
+
+def test_window_impl_plans_partial_group_limit(spark):
+    """The default impl's skew safety IS the InferWindowGroupLimit
+    rewrite: pin `WindowGroupLimit ... Partial` (map-side top-k before
+    the shuffle) into the physical plan so a Spark upgrade or conf
+    change that drops it fails here, not on the cluster."""
+    df = _skewed(spark, n=100)
+    order = [F.col("score").desc(), F.col("doc_id").asc()]
+    q = top_k_per_key(df, "key", order, 5, impl="window")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+    # the two-stage impl must NOT rely on the rule: it bounds sorts
+    # structurally even when the rewrite is unavailable
+    spark.conf.set("spark.sql.optimizer.windowGroupLimitThreshold", "-1")
+    try:
+        q2 = top_k_per_key(df, "key", order, 5, salt_col="doc_id",
+                           n_buckets=4, impl="two_stage")
+        assert rows(q2) == rows(_naive(df, "key", order, 5))
+    finally:
+        spark.conf.set("spark.sql.optimizer.windowGroupLimitThreshold", "1000")
 
 
 def test_rank_col_is_global_rank(spark):
