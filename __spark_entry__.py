@@ -1843,6 +1843,30 @@ def _q_lm_perplexity_documents(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_normalize_documents(spark, sf_dir):
+    """Unicode canonicalization (operators/normalize.py): every text
+    gets deterministic NFD sequences (e+U+0301, i+U+0308) and control
+    chars (BEL, C1 U+009C) appended, then the composed policy — strip
+    controls JVM-side, NFC via the Arrow pandas UDF — must agree
+    byte-for-byte (md5 over UTF-8) with DuckDB's regexp_replace +
+    nfc_normalize on the same mutation."""
+    from snowy_json_spark.operators.normalize import canonical_text
+
+    planted = (
+        " cafe" + chr(0x0301) + " " + chr(0x07) + "nai" + chr(0x0308)
+        + "ve" + chr(0x9C)
+    )
+    mutated = F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(planted))
+    docs = _docs(spark, sf_dir).select("doc_id", mutated.alias("raw"))
+    out = docs.withColumn("norm", canonical_text(F.col("raw")))
+    return out.select(
+        "doc_id",
+        F.length("raw").alias("n_raw"),
+        F.length("norm").alias("n_norm"),
+        F.md5(F.encode(F.col("norm"), "UTF-8")).alias("md5_norm"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_validation_documents": _q_row_validation_documents,
@@ -1904,6 +1928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "greedy_pack_documents": _q_greedy_pack_documents,
         "warc_roundtrip_documents": _q_warc_roundtrip_documents,
         "lm_perplexity_documents": _q_lm_perplexity_documents,
+        "normalize_documents": _q_normalize_documents,
         # approximate-path queries, promoted to exact-verified /
         # recall-arithmetic oracle forms in round 4 (all 4 have
         # oracle_sql entries now)
@@ -2550,6 +2575,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
                    CAST(SUM(doc_id) AS BIGINT) AS id_sum
             FROM kept GROUP BY source ORDER BY source
+        """,
+        "normalize_documents": r"""
+            WITH m AS (
+              SELECT doc_id,
+                     COALESCE(text, '') || ' cafe' || chr(769) || ' '
+                       || chr(7) || 'nai' || chr(776) || 've' || chr(156)
+                       AS raw
+              FROM documents),
+            n AS (
+              SELECT doc_id, raw,
+                     nfc_normalize(regexp_replace(
+                       raw,
+                       '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{80}-\x{9F}]',
+                       '', 'g')) AS norm
+              FROM m)
+            SELECT doc_id,
+                   CAST(length(raw) AS INTEGER) AS n_raw,
+                   CAST(length(norm) AS INTEGER) AS n_norm,
+                   md5(norm) AS md5_norm
+            FROM n ORDER BY doc_id
         """,
         "lm_perplexity_documents": f"""
             WITH w AS (
