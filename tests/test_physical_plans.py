@@ -172,3 +172,48 @@ def test_contamination_join_broadcasts_benchmark(spark, pages):
     assert "BroadcastHashJoin" in p, "benchmark n-grams not broadcast"
     lines = read_schema_lines(p)
     assert any("struct<url:string,text:string>" in l for l in lines), lines
+
+
+def test_chunk_spans_single_exchange_and_pruned_scan(spark, pages):
+    """Concat-and-chunk packing: ONE shuffle (the per-shard window),
+    and the scan reads only the id/token columns — never html."""
+    from snowy_json_spark.operators.packing import chunk_spans
+
+    df = pages.select(
+        "url", F.length("text").alias("n_tokens"),
+        F.pmod(F.xxhash64("url"), F.lit(16)).cast("int").alias("shard"),
+    )
+    out = chunk_spans(df, "url", "n_tokens", 512, shard_col="shard")
+    plan = explain(out)
+    import re
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    for line in read_schema_lines(plan):
+        assert "html" not in line, line
+
+
+def test_greedy_pack_single_exchange(spark, pages):
+    """Greedy packing: one shuffle keyed on shard feeding one
+    applyInPandas group per shard — metadata only, text never moves."""
+    from snowy_json_spark.operators.packing import greedy_pack
+
+    df = pages.select(
+        "url", F.coalesce(F.length("text"), F.lit(0)).alias("n_tokens")
+    )
+    out = greedy_pack(df, "url", "n_tokens", 512, n_shards=16)
+    plan = explain(out)
+    assert "FlatMapGroupsInPandas" in plan, plan
+    import re
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    for line in read_schema_lines(plan):
+        assert "html" not in line and "warc_ts" not in line, line
+
+
+def test_normalize_is_map_only(spark, pages):
+    """canonical_text is a map-only stage: regexp + one ArrowEvalPython,
+    zero shuffles."""
+    from snowy_json_spark.operators.normalize import canonical_text
+
+    out = pages.select(canonical_text(F.col("text")).alias("t"))
+    plan = explain(out)
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan, plan
