@@ -1867,6 +1867,36 @@ def _q_normalize_documents(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_dsir_documents(spark, sf_dir):
+    """DSIR-style importance scoring (operators/lm.py
+    log_likelihood_ratio, Xie et al. 2023): a target unigram model
+    trained on the trusted slice (source='src1', vocab 30) and a
+    corpus model trained on everything (vocab 30); every document's
+    log p_target − log p_corpus must match the oracle, which retrains
+    BOTH models and rescoring in SQL.  One explode feeds two broadcast
+    model joins (plan-pinned in tests/test_lm.py)."""
+    from snowy_json_spark.operators.lm import (
+        log_likelihood_ratio,
+        train_word_lm,
+    )
+
+    docs = _docs(spark, sf_dir)
+    target, tm = train_word_lm(
+        docs.filter(F.col("source") == "src1"), "text", vocab_size=30
+    )
+    corpus, cm = train_word_lm(docs, "text", vocab_size=30)
+    out = log_likelihood_ratio(
+        docs, "doc_id", "text", target, tm["oov_logp"], corpus, cm["oov_logp"]
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        F.round("target_logprob", 6).alias("target_logprob"),
+        F.round("corpus_logprob", 6).alias("corpus_logprob"),
+        F.round("log_ratio", 6).alias("log_ratio"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_validation_documents": _q_row_validation_documents,
@@ -1929,6 +1959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip_documents": _q_warc_roundtrip_documents,
         "lm_perplexity_documents": _q_lm_perplexity_documents,
         "normalize_documents": _q_normalize_documents,
+        "dsir_documents": _q_dsir_documents,
         # approximate-path queries, promoted to exact-verified /
         # recall-arithmetic oracle forms in round 4 (all 4 have
         # oracle_sql entries now)
@@ -2575,6 +2606,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
                    CAST(SUM(doc_id) AS BIGINT) AS id_sum
             FROM kept GROUP BY source ORDER BY source
+        """,
+        "dsir_documents": f"""
+            WITH w AS (
+              SELECT doc_id, source, unnest({_WORDS}) AS word FROM documents),
+            tcnt AS (SELECT word, COUNT(*) AS c FROM w
+                     WHERE source = 'src1' GROUP BY word),
+            ttot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM tcnt),
+            ttop AS (SELECT word, c FROM tcnt
+                     ORDER BY c DESC, word ASC LIMIT 30),
+            tv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM ttop),
+            tmodel AS (
+              SELECT word, ln((c + 1.0) / (ttot.n + 1.0 * (tv.v + 1))) AS lp
+              FROM ttop, ttot, tv),
+            toov AS (SELECT ln(1.0 / (ttot.n + 1.0 * (tv.v + 1))) AS lp
+                     FROM ttot, tv),
+            ccnt AS (SELECT word, COUNT(*) AS c FROM w GROUP BY word),
+            ctot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM ccnt),
+            ctop AS (SELECT word, c FROM ccnt
+                     ORDER BY c DESC, word ASC LIMIT 30),
+            cv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM ctop),
+            cmodel AS (
+              SELECT word, ln((c + 1.0) / (ctot.n + 1.0 * (cv.v + 1))) AS lp
+              FROM ctop, ctot, cv),
+            coov AS (SELECT ln(1.0 / (ctot.n + 1.0 * (cv.v + 1))) AS lp
+                     FROM ctot, cv),
+            sc AS (
+              SELECT w.doc_id, COUNT(*) AS n_words,
+                     SUM(COALESCE(t.lp, (SELECT lp FROM toov))) AS tlp,
+                     SUM(COALESCE(c.lp, (SELECT lp FROM coov))) AS clp
+              FROM w LEFT JOIN tmodel t USING (word)
+                     LEFT JOIN cmodel c USING (word)
+              GROUP BY w.doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(sc.n_words, 0) AS BIGINT) AS n_words,
+                   ROUND(sc.tlp, 6) AS target_logprob,
+                   ROUND(sc.clp, 6) AS corpus_logprob,
+                   ROUND(sc.tlp - sc.clp, 6) AS log_ratio
+            FROM documents d LEFT JOIN sc USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "normalize_documents": r"""
             WITH m AS (

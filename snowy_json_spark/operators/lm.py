@@ -123,6 +123,89 @@ def score_documents(
     return out
 
 
+def log_likelihood_ratio(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_vocab: DataFrame,
+    target_oov_logp: float,
+    corpus_vocab: DataFrame,
+    corpus_oov_logp: float,
+) -> DataFrame:
+    """DSIR-style importance score (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): per document,
+    ``log_ratio = log p_target(doc) - log p_corpus(doc)`` under two
+    unigram models — one trained on a trusted/target corpus, one on
+    the raw crawl.  High ratios mean "looks like the target
+    distribution"; selecting by ratio reweights the crawl toward it.
+
+    Emits ``(id, n_words, target_logprob, corpus_logprob,
+    log_ratio)``; empty documents keep rows with nulls.
+
+    Plan: ONE explode feeding TWO broadcast model joins (both models
+    are ≤ V rows) and one per-doc aggregate — document text moves
+    once regardless of how many models score it."""
+    spine = df.select(F.col(id_col))
+    t = target_vocab.select(
+        F.col("word"), F.col("logp").alias("_lp_t")
+    )
+    c = corpus_vocab.select(
+        F.col("word"), F.col("logp").alias("_lp_c")
+    )
+    scored = (
+        df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("word"))
+        .join(F.broadcast(t), "word", "left")
+        .join(F.broadcast(c), "word", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.coalesce(F.col("_lp_t"), F.lit(target_oov_logp))).alias(
+                "target_logprob"
+            ),
+            F.sum(F.coalesce(F.col("_lp_c"), F.lit(corpus_oov_logp))).alias(
+                "corpus_logprob"
+            ),
+        )
+    )
+    return (
+        spine.join(scored, id_col, "left")
+        .withColumn("n_words", F.coalesce(F.col("n_words"), F.lit(0)))
+        .withColumn(
+            "log_ratio", F.col("target_logprob") - F.col("corpus_logprob")
+        )
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_vocab: DataFrame,
+    target_oov_logp: float,
+    corpus_vocab: DataFrame,
+    corpus_oov_logp: float,
+    min_log_ratio: float,
+    keep_empty: bool = False,
+) -> DataFrame:
+    """The selection gate: input rows plus ``log_ratio`` and ``keep``
+    (true iff ``log_ratio >= min_log_ratio``; empty documents keep
+    ``keep_empty``, never null).  A deterministic-threshold variant of
+    DSIR's importance resampling — thresholding is reproducible and
+    resumable where Gumbel sampling is not, and the threshold is the
+    quantile knob: pick it from :mod:`drift`'s t-digest over
+    ``log_ratio`` to hit a token budget."""
+    scores = log_likelihood_ratio(
+        df, id_col, text_col, target_vocab, target_oov_logp,
+        corpus_vocab, corpus_oov_logp,
+    ).select(id_col, "log_ratio")
+    return df.join(scores, id_col, "left").withColumn(
+        "keep",
+        F.when(F.col("log_ratio").isNull(), F.lit(keep_empty)).otherwise(
+            F.col("log_ratio") >= min_log_ratio
+        ),
+    )
+
+
 def perplexity_filter(
     df: DataFrame,
     id_col: str,

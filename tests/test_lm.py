@@ -113,3 +113,66 @@ def test_scoring_plan_is_broadcast_join(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_log_likelihood_ratio_matches_two_single_scores(spark):
+    from snowy_json_spark.operators.lm import dsir_select, log_likelihood_ratio
+
+    df = _corpus(spark)
+    target, tm = train_word_lm(df.filter(F.col("doc_id") <= 2), "text",
+                               vocab_size=3)
+    corpus, cm = train_word_lm(df, "text", vocab_size=3)
+    got = {r["doc_id"]: r for r in
+           log_likelihood_ratio(df, "doc_id", "text", target,
+                                tm["oov_logp"], corpus,
+                                cm["oov_logp"]).collect()}
+    st = {r["doc_id"]: r for r in
+          score_documents(df, "doc_id", "text", target, tm["oov_logp"]).collect()}
+    sc = {r["doc_id"]: r for r in
+          score_documents(df, "doc_id", "text", corpus, cm["oov_logp"]).collect()}
+    for d in (1, 2, 3):
+        assert got[d]["target_logprob"] == pytest.approx(st[d]["logprob"], rel=1e-12)
+        assert got[d]["corpus_logprob"] == pytest.approx(sc[d]["logprob"], rel=1e-12)
+        assert got[d]["log_ratio"] == pytest.approx(
+            st[d]["logprob"] - sc[d]["logprob"], rel=1e-12)
+    for d in (4, 5):
+        assert got[d]["n_words"] == 0 and got[d]["log_ratio"] is None
+    # selection gate: null-safe keep
+    sel = {r["doc_id"]: r for r in
+           dsir_select(df, "doc_id", "text", target, tm["oov_logp"],
+                       corpus, cm["oov_logp"], min_log_ratio=-1.0).collect()}
+    for d in (1, 2, 3):
+        assert sel[d]["keep"] == (got[d]["log_ratio"] >= -1.0)
+    assert sel[4]["keep"] is False and sel[5]["keep"] is False
+
+
+def test_llr_single_explode_two_broadcasts(spark):
+    """Document text must move once: one Generate (explode) feeding two
+    BroadcastHashJoins."""
+    from snowy_json_spark.operators.lm import log_likelihood_ratio
+
+    df = _corpus(spark)
+    target, tm = train_word_lm(df.filter(F.col("doc_id") <= 2), "text",
+                               vocab_size=3)
+    corpus, cm = train_word_lm(df, "text", vocab_size=3)
+    # materialize the models (as a pipeline would) so the plan under
+    # test is the scoring path, not the training subplans
+    target = target.cache(); target.count()
+    corpus = corpus.cache(); corpus.count()
+    plan = (
+        log_likelihood_ratio(df, "doc_id", "text", target, tm["oov_logp"],
+                             corpus, cm["oov_logp"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # two model joins broadcast (the doc_id spine join is independent
+    # and may broadcast too, so >= 2); the scoring path explodes the
+    # text exactly once — the scoring Generate is the only one that
+    # retains doc_id (training explodes drop it; cached training plans
+    # still print in the tree)
+    import re
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    scoring_explodes = [
+        m for m in re.findall(r"Generate explode[^\n]*", plan)
+        if "doc_id" in m
+    ]
+    assert len(scoring_explodes) == 1, plan
