@@ -132,22 +132,37 @@ def greedy_pack(
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        # the greedy fold, vectorized: each pack is the maximal run of
+        # rows whose running token sum stays within ctx_len of the
+        # pack's base, so every pack boundary is ONE searchsorted jump
+        # into the cumulative sum — O(n_packs) python iterations, not
+        # O(n_rows), with all per-row assignment done by numpy repeat.
+        # Semantics identical to the row fold (pinned by
+        # tests/test_packing.py::test_greedy_matches_reference_fold):
+        # a document joins the current pack iff it fits, a document
+        # longer than ctx_len occupies a pack alone.
+        import numpy as np
+
         pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
-        toks = pdf["n_tokens"].to_numpy()
-        pack_ids = [0] * len(toks)
-        offs = [0] * len(toks)
-        acc = 0
-        cur = 0
-        for i, t in enumerate(toks):
-            if i > 0 and acc + t > ctx_len:
-                cur += 1
-                acc = 0
-            pack_ids[i] = cur
-            offs[i] = acc
-            acc += int(t)
-        pdf["pack_id"] = pd.Series(pack_ids, dtype="int64")
-        pdf["pack_off"] = pd.Series(offs, dtype="int64")
-        pdf["oversize"] = pdf["n_tokens"] > ctx_len
+        toks = pdf["n_tokens"].to_numpy(dtype="int64")
+        n = len(toks)
+        cs = toks.cumsum()
+        starts = []
+        start = 0
+        while start < n:
+            base = cs[start - 1] if start else 0
+            j = int(np.searchsorted(cs, base + ctx_len, side="right"))
+            if j <= start:  # first doc of the pack always joins
+                j = start + 1
+            starts.append(start)
+            start = j
+        starts_a = np.asarray(starts, dtype="int64")
+        sizes = np.diff(np.append(starts_a, n))
+        bases = np.where(starts_a > 0, cs[starts_a - 1], 0)
+        pdf["pack_id"] = np.repeat(np.arange(len(starts_a)), sizes)
+        prev = np.concatenate(([0], cs[:-1]))
+        pdf["pack_off"] = prev - np.repeat(bases, sizes)
+        pdf["oversize"] = toks > ctx_len
         return pdf
 
     return slim.groupBy("shard").applyInPandas(pack, out_schema)

@@ -142,3 +142,77 @@ def test_write_results_byte_stable(spark, tmp_path):
     assert digests[0] == digests[1], "two identical runs must write identical bytes"
     m = json.load(open(f"{tmp_path}/r1/metrics.json"))
     assert "stats" in m and "drift" in m
+
+
+def test_streaming_curation_columns_are_stateless_safe(spark):
+    """The curation column stack — blocklist match, gopher quality,
+    Unicode canonicalization (Arrow UDF), deterministic sample — is
+    stateless, so the SAME Columns must run unchanged on a stream and
+    agree row-for-row with batch evaluation of identical input."""
+    from snowy_json_spark.operators.normalize import canonical_text
+    from snowy_json_spark.operators.sampling import keep_fraction
+    from snowy_json_spark.operators.text import gopher_flags
+    from snowy_json_spark.operators.urls import blocked_domain_match
+
+    def curate(df):
+        return df.select(
+            "value",
+            blocked_domain_match(
+                F.col("url"), ["blocked.example"]
+            ).isNotNull().alias("blocked"),
+            gopher_flags(F.col("text"))["keep"].alias("quality_ok"),
+            keep_fraction(F.col("url"), 0.5, "stream").alias("sampled"),
+            canonical_text(F.col("text")).alias("canon"),
+        )
+
+    def synth(df):
+        return df.select(
+            "value",
+            F.concat(
+                F.when(F.col("value") % 7 == 0, F.lit("https://x.blocked.example/p/"))
+                .otherwise(F.lit("https://ok.example.com/p/")),
+                F.col("value").cast("string"),
+            ).alias("url"),
+            F.concat(
+                F.lit("the quick brown fox jumps over the lazy dog cafe"),
+                F.lit(chr(0x0301) + " "),
+                F.repeat(F.lit("some words here again and again "),
+                         (F.col("value") % 9 + 1).cast("int")),
+            ).alias("text"),
+        )
+
+    stream = synth(
+        spark.readStream.format("rate").option("rowsPerSecond", 500).load()
+    )
+    q = (
+        curate(stream).writeStream.format("memory")
+        .queryName("curation_stream").outputMode("append").start()
+    )
+    try:
+        deadline = time.monotonic() + 60
+        rows = []
+        while time.monotonic() < deadline:
+            q.processAllAvailable()
+            rows = spark.sql("SELECT * FROM curation_stream").collect()
+            if len(rows) >= 20:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert len(rows) >= 20, "stream produced too few rows"
+    # batch-evaluate the same synthetic rows and compare exactly
+    values = [r["value"] for r in rows]
+    batch = {
+        r["value"]: r
+        for r in curate(
+            synth(spark.range(max(values) + 1).select(F.col("id").alias("value")))
+        ).collect()
+        if r["value"] in set(values)
+    }
+    for r in rows:
+        b = batch[r["value"]]
+        assert (r["blocked"], r["quality_ok"], r["sampled"], r["canon"]) == (
+            b["blocked"], b["quality_ok"], b["sampled"], b["canon"]
+        ), r["value"]
+    # both branches of the blocklist must appear
+    assert {r["blocked"] for r in rows} == {True, False}
