@@ -1897,6 +1897,44 @@ def _q_dsir_documents(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_byte_histogram_documents(spark, sf_dir):
+    """Binary content embedding (multimodal.byte_histogram_embedding):
+    payloads constructed as two ASCII byte-runs from doc_id arithmetic
+    — char(65+d%26)×(d%13+1) ++ char(97+d%20)×(d%7+1) — so the
+    256→64-bin fold, log1p scaling and L2 normalization are all
+    reproducible in SQL: the two runs land in provably distinct bins
+    (90//4 < 97//4) and every other embedding cell is 0.  Emits each
+    run's normalized weight read back out of the embedding at its
+    computed bin (float32 storage → 5-decimal compare)."""
+    from snowy_json_spark.operators.multimodal import byte_histogram_embedding
+
+    d = F.col("doc_id")
+    a = (F.lit(65) + d % 26).cast("int")
+    b = (F.lit(97) + d % 20).cast("int")
+    k = (d % 13 + 1).cast("int")
+    m = (d % 7 + 1).cast("int")
+    docs = _docs(spark, sf_dir).select(
+        d.cast("string").alias("url"),
+        F.encode(
+            F.concat(F.repeat(F.char(a), k), F.repeat(F.char(b), m)), "UTF-8"
+        ).alias("payload"),
+        (a / 4).cast("int").alias("bin_a"),
+        (b / 4).cast("int").alias("bin_b"),
+    )
+    emb = byte_histogram_embedding(docs, "payload", "url", n_bins=64)
+    out = emb.join(docs.select("url", "bin_a", "bin_b"), "url")
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        "n_bytes",
+        F.round(
+            F.element_at("embedding", F.col("bin_a") + 1).cast("double"), 5
+        ).alias("w_a"),
+        F.round(
+            F.element_at("embedding", F.col("bin_b") + 1).cast("double"), 5
+        ).alias("w_b"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_validation_documents": _q_row_validation_documents,
@@ -1960,6 +1998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity_documents": _q_lm_perplexity_documents,
         "normalize_documents": _q_normalize_documents,
         "dsir_documents": _q_dsir_documents,
+        "byte_histogram_documents": _q_byte_histogram_documents,
         # approximate-path queries, promoted to exact-verified /
         # recall-arithmetic oracle forms in round 4 (all 4 have
         # oracle_sql entries now)
@@ -2606,6 +2645,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
                    CAST(SUM(doc_id) AS BIGINT) AS id_sum
             FROM kept GROUP BY source ORDER BY source
+        """,
+        "byte_histogram_documents": """
+            WITH s AS (
+              SELECT doc_id,
+                     ln(1.0 + (doc_id % 13 + 1)) AS la,
+                     ln(1.0 + (doc_id % 7 + 1)) AS lb,
+                     CAST((doc_id % 13 + 1) + (doc_id % 7 + 1) AS BIGINT)
+                       AS n_bytes
+              FROM documents)
+            SELECT doc_id, n_bytes,
+                   ROUND(la / sqrt(la * la + lb * lb), 5) AS w_a,
+                   ROUND(lb / sqrt(la * la + lb * lb), 5) AS w_b
+            FROM s ORDER BY doc_id
         """,
         "dsir_documents": f"""
             WITH w AS (

@@ -16,6 +16,7 @@ import hashlib
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -395,3 +396,105 @@ def payload_stats(df: DataFrame, payload_col: str = "html") -> DataFrame:
         F.max(F.length(c)).alias("max_bytes"),
         F.avg((F.length(c) == 0).cast("double")).alias("empty_rate"),
     )
+
+
+def byte_histogram_embedding(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str = "url",
+    n_bins: int = 64,
+    log_scale: bool = True,
+) -> DataFrame:
+    """Content embedding for OPAQUE binary payloads — no decode needed:
+    the L2-normalized (log-scaled) byte-value histogram, folded from
+    256 values to ``n_bins``.  Near-identical binaries (same image
+    re-saved, recompressed variants of one asset, watermarked copies)
+    land close in cosine space, so this plugs straight into the
+    oracle-checked embedding ops (`similarity.cosine_near_duplicates`,
+    ANN top-k) — multimodal near-dup WITHOUT an image decoder in the
+    hot path.  One mapInPandas pass, numpy `bincount` per payload.
+
+    Emits ``(id, n_bytes, embedding array<float>)``; null/empty
+    payloads are dropped (nothing to embed)."""
+    if not 1 <= n_bins <= 256 or 256 % n_bins:
+        raise ValueError(f"n_bins must divide 256, got {n_bins}")
+    fold = 256 // n_bins
+    schema = f"{id_col} string, n_bytes long, embedding array<float>"
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sizes, embs = [], [], []
+            for u, b in zip(pdf[id_col], pdf[payload_col]):
+                if b is None or len(b) == 0:
+                    continue
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                hist = np.bincount(arr, minlength=256).reshape(n_bins, fold)
+                v = hist.sum(axis=1).astype(np.float64)
+                if log_scale:
+                    v = np.log1p(v)
+                norm = float(np.linalg.norm(v))
+                if norm == 0.0:
+                    continue
+                ids.append(u)
+                sizes.append(int(arr.size))
+                embs.append((v / norm).astype(np.float32).tolist())
+            if ids:  # empty frames mis-infer the list column dtype
+                yield pd.DataFrame(
+                    {id_col: ids, "n_bytes": sizes, "embedding": embs}
+                )
+
+    return df.select(id_col, payload_col).mapInPandas(process, schema)
+
+
+def decode_image_stub(
+    df: DataFrame,
+    payload_col: str,
+    url_col: str = "url",
+    grid: int = 8,
+) -> DataFrame:
+    """STUB pixel decode with the REAL pipeline shape: header-parsed
+    dimensions plus a ``grid×grid`` float "thumbnail" per image —
+    deterministic byte-window means standing in for decoded pixels
+    (PIL/ffmpeg are not in this container; swap ``_fake_pixels`` for
+    ``PIL.Image.open(io.BytesIO(payload)).resize(...)`` in
+    production, the schema/batching/partitioning stay identical).
+    Emits ``(url, format, width, height, thumb array<float>)``;
+    non-image or truncated payloads are dropped, matching what a real
+    decoder's error path would filter."""
+    schema = (
+        f"{url_col} string, format string, width int, height int, "
+        "thumb array<float>"
+    )
+    cells = grid * grid
+
+    def _fake_pixels(payload: bytes) -> list[float]:
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        pad = (-arr.size) % cells
+        if pad:
+            arr = np.pad(arr, (0, pad))
+        return (
+            (arr.reshape(cells, -1).mean(axis=1) / 255.0)
+            .astype(np.float32)
+            .tolist()
+        )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {url_col: [], "format": [], "width": [], "height": [],
+                    "thumb": []}
+            for u, b in zip(pdf[url_col], pdf[payload_col]):
+                if b is None or len(b) == 0:
+                    continue
+                try:
+                    fmt, w, h = parse_image_header(bytes(b))
+                except ValueError:
+                    continue
+                rows[url_col].append(u)
+                rows["format"].append(fmt)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["thumb"].append(_fake_pixels(bytes(b)))
+            if rows[url_col]:
+                yield pd.DataFrame(rows)
+
+    return df.select(url_col, payload_col).mapInPandas(process, schema)
