@@ -1935,6 +1935,33 @@ def _q_byte_histogram_documents(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_span_tags_documents(spark, sf_dir):
+    """Dolma-style span attributes (operators/spans.py): text is
+    synthesized with an email and an IPv4 planted at offsets that are
+    pure doc_id arithmetic ('doc ' + 'u{d}@ex.com' + ' mid ' +
+    '10.{d%200}.0.1' + ' end'), so the oracle reproduces every
+    (start, end, tag) from string-length arithmetic — any regex,
+    offset or sort defect in the tagger breaks the match."""
+    from snowy_json_spark.operators.spans import explode_spans, tag_spans
+
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("doc u"), d.cast("string"), F.lit("@ex.com mid 10."),
+            (d % 200).cast("string"), F.lit(".0.1 end"),
+        ).alias("text"),
+    )
+    tagged = tag_spans(
+        docs, "doc_id", "text",
+        taggers={
+            "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+            "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+        },
+    )
+    return explode_spans(tagged, "doc_id").orderBy("doc_id", "start")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_validation_documents": _q_row_validation_documents,
@@ -1999,6 +2026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_documents": _q_normalize_documents,
         "dsir_documents": _q_dsir_documents,
         "byte_histogram_documents": _q_byte_histogram_documents,
+        "span_tags_documents": _q_span_tags_documents,
         # approximate-path queries, promoted to exact-verified /
         # recall-arithmetic oracle forms in round 4 (all 4 have
         # oracle_sql entries now)
@@ -2645,6 +2673,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
                    CAST(SUM(doc_id) AS BIGINT) AS id_sum
             FROM kept GROUP BY source ORDER BY source
+        """,
+        "span_tags_documents": """
+            WITH s AS (
+              SELECT doc_id,
+                     strlen(CAST(doc_id AS VARCHAR)) AS ld,
+                     strlen(CAST(doc_id % 200 AS VARCHAR)) AS lip
+              FROM documents)
+            SELECT doc_id, CAST(4 AS INTEGER) AS start,
+                   CAST(12 + ld AS INTEGER) AS "end", 'email' AS tag
+            FROM s
+            UNION ALL
+            SELECT doc_id, CAST(17 + ld AS INTEGER),
+                   CAST(24 + ld + lip AS INTEGER), 'ipv4'
+            FROM s
+            ORDER BY doc_id, start
         """,
         "byte_histogram_documents": """
             WITH s AS (
