@@ -1962,6 +1962,32 @@ def _q_span_tags_documents(spark, sf_dir):
     return explode_spans(tagged, "doc_id").orderBy("doc_id", "start")
 
 
+def _q_quality_linear_documents(spark, sf_dir):
+    """Model-based quality scoring, deploy path
+    (quality_ml.linear_quality_score): sigmoid over the shared
+    handcrafted features with FIXED weights — the shape a trained
+    classifier exports to — evaluated as one pure-Column expression;
+    the oracle recomputes every feature (word count, mean word
+    length, stopword/punct/upper ratios) and the sigmoid from the
+    same arithmetic in SQL."""
+    from snowy_json_spark.operators.quality_ml import linear_quality_score
+
+    w = {
+        "n_words": 0.01,
+        "mean_word_len": 0.4,
+        "stop_ratio": 3.0,
+        "punct_ratio": -6.0,
+        "upper_ratio": -2.0,
+    }
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.round(linear_quality_score(F.col("text"), w, bias=-2.5), 6).alias(
+            "quality_prob"
+        ),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_validation_documents": _q_row_validation_documents,
@@ -2027,6 +2053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_documents": _q_dsir_documents,
         "byte_histogram_documents": _q_byte_histogram_documents,
         "span_tags_documents": _q_span_tags_documents,
+        "quality_linear_documents": _q_quality_linear_documents,
         # approximate-path queries, promoted to exact-verified /
         # recall-arithmetic oracle forms in round 4 (all 4 have
         # oracle_sql entries now)
@@ -2673,6 +2700,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
                    CAST(SUM(doc_id) AS BIGINT) AS id_sum
             FROM kept GROUP BY source ORDER BY source
+        """,
+        "quality_linear_documents": f"""
+            WITH f AS (
+              SELECT doc_id,
+                COALESCE(len({_WORDS}), 0) AS nw,
+                COALESCE(list_aggregate(
+                  list_transform({_WORDS}, x -> length(x)), 'sum'), 0)
+                  AS wchars,
+                COALESCE(len(list_filter({_WORDS},
+                  x -> x IN ('the','of','and','to','in','a','is','that','it',
+                             'for','on','with','as','are','was','be','this',
+                             'have','from','or','by','not'))), 0) AS nstop,
+                CASE WHEN text IS NOT NULL AND length(text) > 0
+                     THEN (length(text) - length(regexp_replace(
+                            text, '[^\\w\\s]', '', 'g'))) * 1.0 / length(text)
+                     ELSE 0.0 END AS punct,
+                CASE WHEN text IS NOT NULL AND length(text) > 0
+                     THEN (length(text) - length(regexp_replace(
+                            text, '[A-Z]', '', 'g'))) * 1.0 / length(text)
+                     ELSE 0.0 END AS upper
+              FROM documents),
+            z AS (
+              SELECT doc_id,
+                -2.5 + 0.01 * nw
+                     + 0.4 * (CASE WHEN nw > 0
+                              THEN wchars * 1.0 / nw ELSE 0.0 END)
+                     + 3.0 * (CASE WHEN nw > 0
+                              THEN nstop * 1.0 / nw ELSE 0.0 END)
+                     - 6.0 * punct - 2.0 * upper AS z
+              FROM f)
+            SELECT doc_id, ROUND(1.0 / (1.0 + exp(-z)), 6) AS quality_prob
+            FROM z ORDER BY doc_id
         """,
         "span_tags_documents": """
             WITH s AS (
