@@ -1,0 +1,98 @@
+"""spark-submit entry point for the curation pipeline.
+
+The validation engine has `cli.py`; this is its curation sibling — a
+user of the reference pipeline runs BOTH jobs on a cluster:
+
+    spark-submit --py-files snowy_json_spark.zip curate_job.py \\
+        --input PAGES --out SHARDS \\
+        --blocked-domains ads.example.com,tracker.net \\
+        --min-words 50 --min-jaccard 0.8 --n-shards 512 \\
+        --sample-fraction 0.5
+
+Flow (all stages documented in their operators): host-blocklist →
+Gopher quality → near-dup keep-one (`pipeline.curate_documents`) →
+optional deterministic md5-bucket sampling (`sampling.keep_fraction`)
+→ deterministic shard layout (`shards.write_training_shards`).  A
+per-stage attribution report lands next to the output
+(``<out>_report`` parquet) and is printed as one JSON line — the
+number a nightly crawl-ingest job watches.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def build_session() -> SparkSession:
+    return SparkSession.builder.appName("snowy-json-spark-curate").getOrCreate()
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True, help="pages table path")
+    ap.add_argument("--out", required=True, help="output shard directory")
+    ap.add_argument("--id-col", default="url")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--blocked-domains", default="",
+                    help="comma-separated blocked domain suffixes")
+    ap.add_argument("--min-words", type=int, default=None)
+    ap.add_argument("--min-jaccard", type=float, default=0.8)
+    ap.add_argument("--sample-fraction", type=float, default=1.0)
+    ap.add_argument("--sample-seed", default="curate")
+    ap.add_argument("--n-shards", type=int, default=64)
+    args = ap.parse_args(argv)
+
+    from snowy_json_spark.operators.pipeline import curate_documents
+    from snowy_json_spark.operators.sampling import keep_fraction
+    from snowy_json_spark.sources.shards import write_training_shards
+
+    owns_session = spark is None
+    spark = spark or build_session()
+    pages = spark.read.parquet(args.input)
+
+    blocked = [d for d in args.blocked_domains.split(",") if d]
+    bounds = {}
+    if args.min_words is not None:
+        bounds["min_words"] = args.min_words
+    cur = curate_documents(
+        pages,
+        args.id_col,
+        args.text_col,
+        min_jaccard=args.min_jaccard,
+        url_col=args.id_col if blocked else None,
+        blocked_domains=blocked or None,
+        **bounds,
+    )
+    if args.sample_fraction < 1.0:
+        cur = cur.withColumn(
+            "keep",
+            F.col("keep")
+            & keep_fraction(
+                F.col(args.id_col), args.sample_fraction, args.sample_seed
+            ),
+        ).withColumn(
+            "drop_reason",
+            F.when(F.col("keep") | F.col("drop_reason").isNotNull(),
+                   F.col("drop_reason")).otherwise(F.lit("sampled_out")),
+        )
+
+    report = (
+        cur.groupBy(F.coalesce(F.col("drop_reason"), F.lit("kept")).alias("stage"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("stage")
+    )
+    report.write.mode("overwrite").parquet(args.out + "_report")
+    stages = {r["stage"]: r["n_docs"] for r in report.collect()}
+
+    kept = cur.filter(F.col("keep")).drop("keep", "drop_reason")
+    write_training_shards(kept, args.out, args.id_col, args.n_shards)
+
+    print(json.dumps({"out": args.out, "n_shards": args.n_shards,
+                      "stages": stages}))
+    if owns_session:
+        spark.stop()
+    return 0

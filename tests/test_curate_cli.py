@@ -1,0 +1,47 @@
+"""End-to-end curation job: CLI main() == direct API composition."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from snowy_json_spark.curate_cli import main
+from snowy_json_spark.operators.pipeline import curate_documents
+from snowy_json_spark.operators.sampling import keep_fraction
+from snowy_json_spark.sources.pages import generate_pages
+
+
+def test_curate_job_end_to_end(spark, tmp_path, capsys):
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "shards")
+    generate_pages(spark, 800, 4).write.parquet(src)
+
+    rc = main(
+        [
+            "--input", src, "--out", out,
+            "--min-words", "30", "--min-jaccard", "0.8",
+            "--sample-fraction", "0.7", "--n-shards", "8",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+
+    # the CLI must equal the same stages composed directly
+    pages = spark.read.parquet(src)
+    cur = curate_documents(pages, "url", "text", min_jaccard=0.8, min_words=30)
+    expect_keep = cur.filter(
+        F.col("keep") & keep_fraction(F.col("url"), 0.7, "curate")
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == expect_keep.count() > 0
+    assert set(r["url"] for r in back.select("url").collect()) == set(
+        r["url"] for r in expect_keep.select("url").collect()
+    )
+    # shard layout present; report accounts for every input row
+    assert glob.glob(out + "/shard=*")
+    report = {r["stage"]: r["n_docs"]
+              for r in spark.read.parquet(out + "_report").collect()}
+    assert sum(report.values()) == 800
+    assert report.get("kept", 0) == back.count()
+    assert "sampled_out" in report
