@@ -68,14 +68,26 @@ def train_word_lm(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    top = counts.orderBy(F.col("c").desc(), F.col("word").asc()).limit(vocab_size)
-    # two tiny aggregates: corpus total and the in-vocab slice
-    n_tokens = counts.agg(F.sum("c")).first()[0] or 0
-    v = top.count()
+    # ONE corpus wordcount: persist the (word, count) table for the two
+    # reads (total + top-V), then materialize the ≤ vocab_size model on
+    # the driver as a LOCAL DataFrame — scoring never re-triggers the
+    # corpus scan through the model's lineage, and the broadcast side
+    # is a parallelized local table by construction.
+    counts = counts.persist()
+    try:
+        n_tokens = counts.agg(F.sum("c")).first()[0] or 0
+        top_rows = (
+            counts.orderBy(F.col("c").desc(), F.col("word").asc())
+            .limit(vocab_size)
+            .collect()
+        )
+    finally:
+        counts.unpersist()
+    v = len(top_rows)
     denom = float(n_tokens) + alpha * (v + 1)
-    vocab = top.select(
-        "word",
-        (F.log((F.col("c") + F.lit(alpha)) / F.lit(denom))).alias("logp"),
+    vocab = df.sparkSession.createDataFrame(
+        [(r["word"], math.log((r["c"] + alpha) / denom)) for r in top_rows],
+        "word string, logp double",
     )
     meta = {
         "n_tokens": int(n_tokens),
