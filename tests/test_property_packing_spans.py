@@ -1,0 +1,95 @@
+"""Property-based checks for the vectorized greedy fold and span
+redaction — randomized inputs against naive Python references."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from snowy_json_spark.operators.packing import greedy_pack
+from snowy_json_spark.operators.spans import redact_spans
+
+CTX = 50
+
+token_lists = st.lists(
+    st.lists(st.integers(min_value=0, max_value=120), min_size=1, max_size=40),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _ref_fold(toks, ctx):
+    out, acc, cur = [], 0, 0
+    for i, t in enumerate(toks):
+        if i > 0 and acc + t > ctx:
+            cur, acc = cur + 1, 0
+        out.append((cur, acc, t > ctx))
+        acc += t
+    return out
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(shards=token_lists)
+def test_greedy_pack_matches_fold_on_random_inputs(spark, shards):
+    rows = []
+    for s, toks in enumerate(shards):
+        for i, t in enumerate(toks):
+            rows.append((s, s * 1000 + i, t))
+    df = spark.createDataFrame(rows, "shard int, doc_id long, n_tokens long")
+    got = {
+        (r["shard"], r["doc_id"]): (r["pack_id"], r["pack_off"], r["oversize"])
+        for r in greedy_pack(df, "doc_id", "n_tokens", CTX,
+                             shard_col="shard").collect()
+    }
+    for s, toks in enumerate(shards):
+        for i, want in enumerate(_ref_fold(toks, CTX)):
+            assert got[(s, s * 1000 + i)] == want, (s, i, toks)
+
+
+span_lists = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(1, 12), st.sampled_from("abc")),
+    min_size=0,
+    max_size=6,
+)
+
+
+def _ref_redact(text, spans):
+    out = text
+    last_start = None
+    for start, end, tag in sorted(
+        [(s, min(s + ln, len(text)), t) for s, ln, t in spans
+         if s < len(text)],
+        key=lambda x: (x[0], x[1]),
+        reverse=True,
+    ):
+        if last_start is not None and end > last_start:
+            end = last_start
+        if start >= end:
+            continue
+        out = out[:start] + f"<{tag.upper()}>" + out[end:]
+        last_start = start
+    return out
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(text=st.text(alphabet="xyz w.", min_size=0, max_size=40),
+       spans=span_lists)
+def test_redact_spans_matches_reference(spark, text, spans):
+    clipped = [
+        {"start": s, "end": min(s + ln, len(text)), "tag": t}
+        for s, ln, t in spans
+        if s < len(text)
+    ]
+    pdf = pd.DataFrame({"doc_id": [1], "text": [text], "spans": [clipped]})
+    df = spark.createDataFrame(
+        pdf, "doc_id long, text string, "
+             "spans array<struct<start:int,end:int,tag:string>>"
+    )
+    got = redact_spans(df, "text", out_col="clean").first()["clean"]
+    assert got == _ref_redact(text, spans), (text, spans)
