@@ -1722,7 +1722,10 @@ def _q_domain_cap_documents(spark, sf_dir):
         .cast("double")
         .alias("score"),
     )
-    capped = domain_cap(docs, "url", "score", 7, id_col="doc_id", n_buckets=8)
+    capped = domain_cap(
+        docs, "url", "score", 7, id_col="doc_id", n_buckets=8,
+        impl="two_stage",
+    )
     return capped.select("doc_id", "score").orderBy("doc_id")
 
 

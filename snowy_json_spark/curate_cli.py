@@ -80,16 +80,28 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                    F.col("drop_reason")).otherwise(F.lit("sampled_out")),
         )
 
-    report = (
-        cur.groupBy(F.coalesce(F.col("drop_reason"), F.lit("kept")).alias("stage"))
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .orderBy("stage")
-    )
-    report.write.mode("overwrite").parquet(args.out + "_report")
-    stages = {r["stage"]: r["n_docs"] for r in report.collect()}
+    # three actions consume cur (report write, report collect, shard
+    # write) — persist so the curation DAG (incl. the near-dup LSH
+    # self-join) runs once, not three times
+    cur = cur.persist()
+    try:
+        report = (
+            cur.groupBy(
+                F.coalesce(F.col("drop_reason"), F.lit("kept")).alias("stage")
+            )
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("stage")
+        )
+        report.write.mode("overwrite").parquet(args.out + "_report")
+        stages = {
+            r["stage"]: r["n_docs"]
+            for r in spark.read.parquet(args.out + "_report").collect()
+        }
 
-    kept = cur.filter(F.col("keep")).drop("keep", "drop_reason")
-    write_training_shards(kept, args.out, args.id_col, args.n_shards)
+        kept = cur.filter(F.col("keep")).drop("keep", "drop_reason")
+        write_training_shards(kept, args.out, args.id_col, args.n_shards)
+    finally:
+        cur.unpersist()
 
     print(json.dumps({"out": args.out, "n_shards": args.n_shards,
                       "stages": stages}))

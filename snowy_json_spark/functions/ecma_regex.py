@@ -84,15 +84,19 @@ def translate(pattern: str) -> str:
                     out.append(_ECMA_NOT_S)
             elif nxt == "c":
                 # ECMA allows \c with either case; Java only upper
-                if i + 2 < n and "a" <= pattern[i + 2] <= "z":
+                if i + 2 < n and (
+                    "a" <= pattern[i + 2] <= "z" or "A" <= pattern[i + 2] <= "Z"
+                ):
                     out.append("\\c" + pattern[i + 2].upper())
                     i += 3
                     continue
-                out.append("\\c")
-                if i + 2 < n:
-                    out.append(pattern[i + 2])
-                    i += 3
-                    continue
+                # Annex B: \c NOT followed by a letter is the literal
+                # two-char sequence '\c' — Java would instead read a
+                # control escape (\c1 = control-'1'), silently matching
+                # the wrong character, so emit an escaped backslash.
+                out.append("\\\\c")
+                i += 2
+                continue
             elif nxt == "v":
                 out.append("\\u000B")
             elif nxt == "0":
@@ -145,12 +149,26 @@ def compile_python(pattern: str) -> re.Pattern:
     escapes are lowered to their literal code points (X mod 32).
     """
     java = translate(pattern).replace("\\z", "\\Z")
-    java = re.sub(
-        r"\\c([A-Za-z])",
-        lambda m: "\\x%02x" % (ord(m.group(1)) % 32),
-        java,
-    )
-    return re.compile(java)
+    # lower \cX escape-context-aware: a blind re.sub would also rewrite
+    # the 'c' after an ESCAPED backslash (pattern '\\cA' — literal
+    # backslash + 'cA') into a control char, corrupting the pattern.
+    out: list[str] = []
+    i, n = 0, len(java)
+    while i < n:
+        c = java[i]
+        if c == "\\" and i + 1 < n:
+            nxt = java[i + 1]
+            if nxt == "c" and i + 2 < n and java[i + 2].isalpha():
+                out.append("\\x%02x" % (ord(java[i + 2]) % 32))
+                i += 3
+                continue
+            out.append(c)
+            out.append(nxt)
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return re.compile("".join(out))
 
 
 def is_valid_ecma(pattern: str) -> bool:

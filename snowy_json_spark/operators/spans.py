@@ -106,9 +106,12 @@ def redact_spans(
     out_col: str | None = None,
 ) -> DataFrame:
     """Materialize redaction from stored spans: each span replaced by
-    ``<TAG>`` (uppercased), applied right-to-left so stored offsets
-    need no adjustment; overlapping spans collapse into the earliest
-    one's replacement.  Null spans pass text through unchanged."""
+    ``<TAG>`` (uppercased).  Overlapping or nested spans are MERGED
+    into one maximal interval first (tag of the earliest-starting,
+    then longest, member) and the merged intervals are replaced
+    right-to-left — so a span nested inside a longer one can never
+    leave the enclosing span's tail unredacted.  Null spans pass text
+    through unchanged."""
     out_col = out_col or text_col
 
     from pyspark.sql.functions import pandas_udf
@@ -118,19 +121,22 @@ def redact_spans(
         def one(t, spans):
             if t is None or spans is None:
                 return t
-            out = t
-            last_start = None
-            for s in sorted(
-                spans, key=lambda s: (s["start"], s["end"]), reverse=True
+            clipped = [
+                (int(s["start"]), min(int(s["end"]), len(t)), s["tag"])
+                for s in spans
+                if int(s["start"]) < min(int(s["end"]), len(t))
+            ]
+            merged: list[list] = []
+            for start, end, tag in sorted(
+                clipped, key=lambda s: (s[0], -s[1])
             ):
-                if last_start is not None and s["end"] > last_start:
-                    end = min(int(s["end"]), last_start)
+                if merged and start <= merged[-1][1]:
+                    merged[-1][1] = max(merged[-1][1], end)
                 else:
-                    end = int(s["end"])
-                if s["start"] >= end:
-                    continue
-                out = out[: s["start"]] + f"<{s['tag'].upper()}>" + out[end:]
-                last_start = int(s["start"])
+                    merged.append([start, end, tag])
+            out = t
+            for start, end, tag in reversed(merged):
+                out = out[:start] + f"<{tag.upper()}>" + out[end:]
             return out
 
         for texts, spans in it:

@@ -67,18 +67,22 @@ def top_k_per_key(
     module docstring; requires ``k`` ≤
     ``spark.sql.optimizer.windowGroupLimitThreshold``, default 1000).
     ``impl="two_stage"``: explicit bucketed stage-1 local top-k;
-    ``salt_col`` (default: the first order column) feeds the stage-1
-    bucket hash — any column works, but a near-unique one spreads hot
-    keys best.  With ``rank_col`` the final 1..k rank is kept."""
+    ``salt_col`` is REQUIRED for it (the bucket hash needs a plain
+    column — ``order_by`` entries carry asc/desc sort order, which
+    cannot be hashed) — any column works, but a near-unique one
+    spreads hot keys best.  With ``rank_col`` the final 1..k rank is
+    kept."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if impl not in ("window", "two_stage"):
         raise ValueError(f"impl must be 'window' or 'two_stage', got {impl!r}")
+    if impl == "two_stage" and salt_col is None:
+        raise ValueError("impl='two_stage' requires salt_col")
     w2 = Window.partitionBy(F.col(key_col)).orderBy(*order_by)
     if impl == "window":
         staged = df
     else:
-        salt = F.col(salt_col) if salt_col is not None else order_by[0]
+        salt = F.col(salt_col)
         bucket = F.pmod(F.xxhash64(salt), F.lit(n_buckets))
         w1 = Window.partitionBy(F.col(key_col), F.col("_tkb")).orderBy(*order_by)
         staged = (

@@ -30,11 +30,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.packing import shard_of as shard_key  # one shared contract
+
 SHARD_COL = "shard"
-
-
-def shard_key(id_col, n_shards: int):
-    return F.pmod(F.xxhash64(id_col), F.lit(n_shards)).cast("int")
 
 
 def write_training_shards(

@@ -90,9 +90,13 @@ def minhash_dedup_batch(
 
     Failure semantics: every write is ``overwrite`` into a
     ``batch_id=N`` subdirectory, so a foreachBatch retry of the same
-    epoch rewrites the same paths — idempotent end-to-end, matching
-    the manifest-resume design of the batch engine.  The index read
-    uses partition discovery over the ``batch_id=`` layout; on a real
+    epoch rewrites the same paths, and the index read is pinned to
+    ``batch_id < N`` — a retry of epoch N therefore probes exactly the
+    index state the first attempt saw instead of finding its own
+    partial writes (which would drop every document as a
+    self-duplicate).  Idempotent end-to-end, matching the
+    manifest-resume design of the batch engine.  The index read uses
+    partition discovery over the ``batch_id=`` layout; on a real
     deployment point ``index_dir`` at an Iceberg table and replace the
     per-batch overwrite with a transactional append."""
     from pyspark.errors import AnalysisException
@@ -121,9 +125,20 @@ def minhash_dedup_batch(
                     intra.filter(F.col("old_id") < F.col("new_id")).select("new_id")
                 )
             try:
-                idx_sigs = spark.read.parquet(sigs_dir).select(id_col, "minhash")
-                idx_bands = spark.read.parquet(bands_dir).select(
-                    id_col, "band", "bucket"
+                # retry-idempotence: a foreachBatch re-run of epoch N
+                # must not see the signatures N itself already wrote
+                # (it would drop every kept doc as a self-duplicate and
+                # overwrite good output with an empty batch), so the
+                # index read is pinned to strictly-earlier batches.
+                idx_sigs = (
+                    spark.read.parquet(sigs_dir)
+                    .filter(F.col("batch_id") < F.lit(batch_id))
+                    .select(id_col, "minhash")
+                )
+                idx_bands = (
+                    spark.read.parquet(bands_dir)
+                    .filter(F.col("batch_id") < F.lit(batch_id))
+                    .select(id_col, "band", "bucket")
                 )
                 cross = probe_index(
                     new_sigs, new_bands, idx_sigs, idx_bands,

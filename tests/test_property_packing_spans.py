@@ -59,20 +59,22 @@ span_lists = st.lists(
 
 
 def _ref_redact(text, spans):
-    out = text
-    last_start = None
-    for start, end, tag in sorted(
+    """Independent reference: merge overlapping intervals (earliest
+    start, then longest, donates the tag), replace right-to-left."""
+    clipped = sorted(
         [(s, min(s + ln, len(text)), t) for s, ln, t in spans
-         if s < len(text)],
-        key=lambda x: (x[0], x[1]),
-        reverse=True,
-    ):
-        if last_start is not None and end > last_start:
-            end = last_start
-        if start >= end:
-            continue
+         if s < min(s + ln, len(text))],
+        key=lambda x: (x[0], -x[1]),
+    )
+    merged = []
+    for start, end, tag in clipped:
+        if merged and start <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], end)
+        else:
+            merged.append([start, end, tag])
+    out = text
+    for start, end, tag in reversed(merged):
         out = out[:start] + f"<{tag.upper()}>" + out[end:]
-        last_start = start
     return out
 
 

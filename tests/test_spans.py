@@ -50,7 +50,7 @@ def test_redact_spans_roundtrip(spark):
     assert red[4] == "<EMAIL> and <EMAIL>"
 
 
-def test_redact_overlapping_spans(spark):
+def test_redact_overlapping_spans_merge(spark):
     df = spark.createDataFrame([(1, "xxabcdefyy")], "doc_id long, text string")
     tagged = df.withColumn(
         "spans",
@@ -62,8 +62,24 @@ def test_redact_overlapping_spans(spark):
         ),
     )
     out = redact_spans(tagged, "text", out_col="clean").first()["clean"]
-    # right-to-left: [4,8)→<B>, then [2,6) clamps to [2,4)→<A>
-    assert out == "xx<A><B>yy"
+    # overlapping spans merge to one interval, earliest member's tag
+    assert out == "xx<A>yy"
+
+
+def test_redact_nested_span_never_leaks_tail(spark):
+    """Regression: a span nested inside a longer one (the phone regex
+    matching the digit run inside an email) must not leave the
+    enclosing span's tail unredacted."""
+    text = "mail bob.15551234567.smith@example.com now"
+    tagged = tag_spans(
+        spark.createDataFrame([(1, text)], "doc_id long, text string"),
+        "doc_id", "text",
+    )
+    spans = tagged.first()["spans"]
+    assert {s["tag"] for s in spans} == {"email", "phone"}
+    out = redact_spans(tagged, "text", out_col="clean").first()["clean"]
+    assert out == "mail <EMAIL> now"
+    assert "smith" not in out and "@example.com" not in out
 
 
 def test_custom_taggers(spark):
