@@ -1991,6 +1991,57 @@ def _q_quality_linear_documents(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_chunk_text_documents(spark, sf_dir):
+    """RAG-style overlapping chunker (packing.chunk_text, pure
+    Columns: sequence → posexplode → substring): chunk 120 chars with
+    overlap 30 over the real text column; the oracle re-derives every
+    start offset (range stepped by 90, stopping at len−overlap−1) and
+    chunk bytes (md5) in SQL."""
+    from snowy_json_spark.operators.packing import chunk_text
+
+    out = chunk_text(_docs(spark, sf_dir), "doc_id", "text",
+                     chunk_chars=120, overlap_chars=30)
+    return out.select(
+        "doc_id",
+        "chunk_index",
+        "start",
+        F.length("chunk").alias("chunk_len"),
+        F.md5(F.encode(F.col("chunk"), "UTF-8")).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_index")
+
+
+def _q_noindex_documents(spark, sf_dir):
+    """Robots noindex filter (extract.robots_noindex): html is
+    synthesized around the real text with a planted meta tag —
+    d%3==0 gets name-then-content robots noindex, else d%7==0 gets
+    content-then-name googlebot noindex, else an innocuous meta — so
+    the oracle reproduces the verdict from pure arithmetic and any
+    regex defect (attribute order, quoting, case) breaks the match."""
+    from snowy_json_spark.operators.extract import robots_noindex
+
+    d = F.col("doc_id")
+    meta = (
+        F.when(d % 3 == 0,
+               F.lit('<meta name="robots" content="noindex,nofollow">'))
+        .when(d % 7 == 0, F.lit("<meta content='NOINDEX' name=googlebot>"))
+        .otherwise(F.lit('<meta name="robots" content="all">'))
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.encode(
+            F.concat(
+                F.lit("<html><head>"), meta, F.lit("</head><body>"),
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit("</body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    return docs.select(
+        "doc_id", robots_noindex(F.col("html")).alias("noindex")
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_validation_documents": _q_row_validation_documents,
@@ -2057,6 +2108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "byte_histogram_documents": _q_byte_histogram_documents,
         "span_tags_documents": _q_span_tags_documents,
         "quality_linear_documents": _q_quality_linear_documents,
+        "chunk_text_documents": _q_chunk_text_documents,
+        "noindex_documents": _q_noindex_documents,
         # approximate-path queries, promoted to exact-verified /
         # recall-arithmetic oracle forms in round 4 (all 4 have
         # oracle_sql entries now)
@@ -2703,6 +2756,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
                    CAST(SUM(doc_id) AS BIGINT) AS id_sum
             FROM kept GROUP BY source ORDER BY source
+        """,
+        "chunk_text_documents": """
+            WITH s AS (
+              SELECT doc_id, text FROM documents
+              WHERE text IS NOT NULL AND length(text) > 0),
+            st AS (
+              SELECT doc_id, text,
+                     unnest(range(0,
+                       greatest(length(text) - 30 - 1, 0) + 1, 90)) AS start
+              FROM s)
+            SELECT doc_id,
+                   CAST(start // 90 AS INTEGER) AS chunk_index,
+                   CAST(start AS INTEGER) AS start,
+                   CAST(length(substring(text, CAST(start + 1 AS INTEGER), 120))
+                        AS INTEGER) AS chunk_len,
+                   md5(substring(text, CAST(start + 1 AS INTEGER), 120))
+                     AS chunk_md5
+            FROM st ORDER BY doc_id, chunk_index
+        """,
+        "noindex_documents": """
+            SELECT doc_id,
+                   (doc_id % 3 = 0 OR doc_id % 7 = 0) AS noindex
+            FROM documents ORDER BY doc_id
         """,
         "quality_linear_documents": f"""
             WITH f AS (

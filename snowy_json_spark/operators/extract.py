@@ -85,3 +85,32 @@ def extraction_report(
             "n_mismatched"
         ),
     )
+
+
+def robots_noindex(html_col: Column) -> Column:
+    """True when the page opts out of indexing via
+    ``<meta name="robots" ... content="...noindex...">`` (either
+    attribute order, any quoting, case-insensitive) or the
+    ``googlebot`` variant — the crawl-pipeline courtesy filter
+    (RefinedWeb/CCNet honor it before any content heuristic).  Pure
+    JVM regexp over the decoded payload; null html → false (a missing
+    page cannot opt out)."""
+    s = F.lower(html_col.cast("string"))
+    name_then_content = (
+        r"<meta[^>]*name\s*=\s*(\"|')?(robots|googlebot)(\"|')?[^>]*"
+        r"content\s*=\s*(\"|')[^\"']*noindex"
+    )
+    content_then_name = (
+        r"<meta[^>]*content\s*=\s*(\"|')[^\"']*noindex[^\"']*(\"|')[^>]*"
+        r"name\s*=\s*(\"|')?(robots|googlebot)"
+    )
+    hit = (F.length(F.regexp_extract(s, name_then_content, 0)) > 0) | (
+        F.length(F.regexp_extract(s, content_then_name, 0)) > 0
+    )
+    return F.coalesce(hit, F.lit(False))
+
+
+def noindex_filter(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Drop pages that opt out of indexing; the cheapest respectful
+    pre-filter, run before text heuristics ever read the body."""
+    return df.filter(~robots_noindex(F.col(html_col)))

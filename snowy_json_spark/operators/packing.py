@@ -168,6 +168,54 @@ def greedy_pack(
     return slim.groupBy("shard").applyInPandas(pack, out_schema)
 
 
+def chunk_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_chars: int,
+    overlap_chars: int = 0,
+) -> DataFrame:
+    """Per-document overlapping text chunks — the RAG/embedding-index
+    layout (each chunk goes to the embedder; overlap keeps boundary
+    context).  Pure Columns: ``sequence`` of start offsets stepped by
+    ``chunk_chars − overlap_chars`` → explode → ``substring`` — no
+    UDF, no shuffle; Catalyst keeps it in the scan's stage.
+
+    Emits ``(id, chunk_index, start, chunk)``; the final chunk may be
+    shorter, a start is never placed where it would only re-cover the
+    previous chunk's overlap (iteration stops at
+    ``len − overlap − 1``), and null/empty text yields no chunks."""
+    if chunk_chars < 1:
+        raise ValueError(f"chunk_chars must be >= 1, got {chunk_chars}")
+    if not 0 <= overlap_chars < chunk_chars:
+        raise ValueError(
+            f"overlap_chars must be in [0, chunk_chars), got {overlap_chars}"
+        )
+    step = chunk_chars - overlap_chars
+    t = F.col(text_col)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.length(t) - overlap_chars - 1, F.lit(0)),
+        F.lit(step),
+    )
+    return (
+        df.filter(F.length(t) > 0)
+        .select(
+            F.col(id_col),
+            t.alias("_ct"),
+            F.posexplode(starts).alias("chunk_index", "start"),
+        )
+        .select(
+            id_col,
+            "chunk_index",
+            "start",
+            F.substring(F.col("_ct"), F.col("start") + 1, chunk_chars).alias(
+                "chunk"
+            ),
+        )
+    )
+
+
 def pack_utilization(packed: DataFrame, ctx_len: int) -> DataFrame:
     """Fill-rate summary of a :func:`greedy_pack` result: per shard,
     ``n_docs``, ``n_packs``, ``n_oversize`` and ``fill`` = packed

@@ -52,3 +52,32 @@ def test_extraction_report(spark, pages):
     assert r["n_rows"] == 3000
     assert r["n_byte_identical"] + r["n_both_missing"] + r["n_mismatched"] == 3000
     assert r["n_byte_identical"] > 2800  # overwhelming majority clean
+
+
+def test_robots_noindex_variants(spark):
+    from snowy_json_spark.operators.extract import noindex_filter, robots_noindex
+
+    rows = [
+        (1, b'<html><head><meta name="robots" content="noindex,nofollow">'
+            b"</head><body>x</body></html>"),
+        (2, b"<html><head><META NAME='ROBOTS' CONTENT='NOINDEX'></head>"
+            b"<body>x</body></html>"),
+        (3, b'<html><head><meta content="noindex" name=robots></head>'
+            b"<body>x</body></html>"),
+        (4, b'<html><head><meta name="googlebot" content="noindex"></head>'
+            b"<body>x</body></html>"),
+        (5, b'<html><head><meta name="robots" content="index,follow"></head>'
+            b"<body>x</body></html>"),
+        (6, b'<html><head><meta name="viewport" content="noindex-like"></head>'
+            b"<body>x</body></html>"),
+        (7, b"<html><body>no meta at all</body></html>"),
+        (8, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html binary")
+    got = {r["doc_id"]: r["ni"] for r in df.select(
+        "doc_id", robots_noindex(F.col("html")).alias("ni")).collect()}
+    assert got == {1: True, 2: True, 3: True, 4: True,
+                   5: False, 6: False, 7: False, 8: False}
+    kept = {r["doc_id"] for r in noindex_filter(df).collect()}
+    # null html cannot opt out, so it is kept
+    assert kept == {5, 6, 7, 8}

@@ -129,3 +129,37 @@ def test_ctx_len_validated(spark):
             pass
         else:
             raise AssertionError("ctx_len=0 should raise")
+
+
+def test_chunk_text_offsets_and_overlap(spark):
+    from snowy_json_spark.operators.packing import chunk_text
+
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3],
+                        "text": ["abcdefghij", "ab", None]})
+    got = chunk_text(spark.createDataFrame(pdf), "doc_id", "text",
+                     chunk_chars=8, overlap_chars=4).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_index"], r["start"], r["chunk"]))
+    # len 10, step 4, stop at len-overlap-1=5 → starts 0,4
+    assert by_doc[1] == [(0, 0, "abcdefgh"), (1, 4, "efghij")]
+    # short text: one chunk
+    assert by_doc[2] == [(0, 0, "ab")]
+    # null text: no chunks
+    assert 3 not in by_doc
+    # overlap property: consecutive chunks share overlap_chars
+    assert by_doc[1][0][2][-4:] == by_doc[1][1][2][:4]
+
+
+def test_chunk_text_params_validated(spark):
+    from snowy_json_spark.operators.packing import chunk_text
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    for kwargs in ({"chunk_chars": 0}, {"chunk_chars": 4, "overlap_chars": 4}):
+        try:
+            chunk_text(df, "doc_id", "text", **kwargs)
+        except ValueError:
+            pass
+        else:
+            raise AssertionError(kwargs)
