@@ -2042,6 +2042,27 @@ def _q_noindex_documents(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_corpus_diff_documents(spark, sf_dir):
+    """Snapshot diff (stats.corpus_diff): old = documents minus the
+    d%5==0 slice, new = documents minus the d%7==0 slice with text
+    mutated for d%3==0 — membership and mutation are both doc_id
+    arithmetic, so the oracle reproduces every added/removed/changed/
+    unchanged verdict and both content hashes (null text concat
+    null-propagates identically in both engines → unchanged)."""
+    from snowy_json_spark.operators.stats import corpus_diff
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    old = docs.filter(d % 5 != 0).select("doc_id", "text")
+    new = docs.filter(d % 7 != 0).select(
+        "doc_id",
+        F.when(d % 3 == 0, F.concat(F.col("text"), F.lit("v2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return corpus_diff(old, new, "doc_id", "text").orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_validation_documents": _q_row_validation_documents,
@@ -2110,6 +2131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_linear_documents": _q_quality_linear_documents,
         "chunk_text_documents": _q_chunk_text_documents,
         "noindex_documents": _q_noindex_documents,
+        "corpus_diff_documents": _q_corpus_diff_documents,
         # approximate-path queries, promoted to exact-verified /
         # recall-arithmetic oracle forms in round 4 (all 4 have
         # oracle_sql entries now)
@@ -2756,6 +2778,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
                    CAST(SUM(doc_id) AS BIGINT) AS id_sum
             FROM kept GROUP BY source ORDER BY source
+        """,
+        "corpus_diff_documents": """
+            WITH o AS (
+              SELECT doc_id, md5(text) AS old_md5
+              FROM documents WHERE doc_id % 5 <> 0),
+            n AS (
+              SELECT doc_id,
+                     md5(CASE WHEN doc_id % 3 = 0 THEN text || 'v2'
+                              ELSE text END) AS new_md5
+              FROM documents WHERE doc_id % 7 <> 0)
+            SELECT doc_id,
+                   CASE WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN old_md5 IS NOT DISTINCT FROM new_md5
+                          THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   old_md5, new_md5
+            FROM o FULL OUTER JOIN n USING (doc_id)
+            ORDER BY doc_id
         """,
         "chunk_text_documents": """
             WITH s AS (

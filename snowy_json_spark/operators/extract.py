@@ -96,13 +96,16 @@ def robots_noindex(html_col: Column) -> Column:
     JVM regexp over the decoded payload; null html → false (a missing
     page cannot opt out)."""
     s = F.lower(html_col.cast("string"))
+    # content value may be quoted ('...noindex...') or a bare token
+    # (content=noindex); the quoted alternative must come first
+    value_with_noindex = r"((\"|')[^\"']*noindex|[^>\s\"']*noindex)"
     name_then_content = (
         r"<meta[^>]*name\s*=\s*(\"|')?(robots|googlebot)(\"|')?[^>]*"
-        r"content\s*=\s*(\"|')[^\"']*noindex"
+        r"content\s*=\s*" + value_with_noindex
     )
     content_then_name = (
-        r"<meta[^>]*content\s*=\s*(\"|')[^\"']*noindex[^\"']*(\"|')[^>]*"
-        r"name\s*=\s*(\"|')?(robots|googlebot)"
+        r"<meta[^>]*content\s*=\s*((\"|')[^\"']*noindex[^\"']*(\"|')"
+        r"|[^>\s\"']*noindex[^>\s\"']*)[^>]*name\s*=\s*(\"|')?(robots|googlebot)"
     )
     hit = (F.length(F.regexp_extract(s, name_then_content, 0)) > 0) | (
         F.length(F.regexp_extract(s, content_then_name, 0)) > 0

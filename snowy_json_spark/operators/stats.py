@@ -130,3 +130,46 @@ class HllSketches:
             for c in self.columns
         ]
         return sketches.agg(*exprs)
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Snapshot-to-snapshot corpus diff — what changed between crawl
+    versions: one row per document id present in either snapshot with
+    ``status`` ∈ added / removed / changed / unchanged plus both
+    content hashes.  The crawl-ops primitive behind incremental
+    reprocessing (only ``added``/``changed`` docs re-enter the
+    pipeline) and behind drift triage (a spike in ``removed`` means
+    the fetcher, not the data, changed).
+
+    Plan: each side reduces to (id, md5) — text never crosses the
+    join — then one full-outer hash join on the id.  Content equality
+    is md5 over the utf-8 bytes; null text hashes to null and
+    compares null-safely (null == null counts as unchanged)."""
+    # membership, not hash nullness, decides added/removed: a document
+    # with null text still EXISTS in its snapshot
+    o = old.select(
+        F.col(id_col),
+        F.lit(True).alias("_in_old"),
+        F.md5(F.encode(F.col(text_col), "UTF-8")).alias("old_md5"),
+    )
+    nw = new.select(
+        F.col(id_col),
+        F.lit(True).alias("_in_new"),
+        F.md5(F.encode(F.col(text_col), "UTF-8")).alias("new_md5"),
+    )
+    joined = o.join(nw, id_col, "full_outer")
+    return joined.select(
+        id_col,
+        F.when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("old_md5").eqNullSafe(F.col("new_md5")), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+        "old_md5",
+        "new_md5",
+    )

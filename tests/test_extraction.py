@@ -72,12 +72,17 @@ def test_robots_noindex_variants(spark):
             b"<body>x</body></html>"),
         (7, b"<html><body>no meta at all</body></html>"),
         (8, None),
+        (9, b"<html><head><meta name=robots content=noindex,nofollow>"
+            b"</head><body>x</body></html>"),
+        (10, b"<html><head><meta content=nofollow,noindex name=robots>"
+             b"</head><body>x</body></html>"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, html binary")
     got = {r["doc_id"]: r["ni"] for r in df.select(
         "doc_id", robots_noindex(F.col("html")).alias("ni")).collect()}
     assert got == {1: True, 2: True, 3: True, 4: True,
-                   5: False, 6: False, 7: False, 8: False}
+                   5: False, 6: False, 7: False, 8: False,
+                   9: True, 10: True}
     kept = {r["doc_id"] for r in noindex_filter(df).collect()}
     # null html cannot opt out, so it is kept
     assert kept == {5, 6, 7, 8}

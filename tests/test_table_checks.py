@@ -173,3 +173,18 @@ def test_hashed_shuffle_fallback_on_high_dup_corpus(spark):
     with contextlib.redirect_stdout(buf):
         fallback.explain("formatted")
     assert "BroadcastHashJoin" not in buf.getvalue()
+
+
+def test_corpus_diff_statuses(spark):
+    from snowy_json_spark.operators.stats import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "before"), (3, "gone"), (5, None), (6, None)],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "after"), (4, "fresh"), (5, None), (6, "now set")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["status"]
+           for r in corpus_diff(old, new, "doc_id", "text").collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "added", 5: "unchanged", 6: "changed"}
