@@ -83,17 +83,23 @@ def translate(pattern: str) -> str:
                 else:
                     out.append(_ECMA_NOT_S)
             elif nxt == "c":
-                # ECMA allows \c with either case; Java only upper
-                if i + 2 < n and (
-                    "a" <= pattern[i + 2] <= "z" or "A" <= pattern[i + 2] <= "Z"
-                ):
-                    out.append("\\c" + pattern[i + 2].upper())
+                # ECMA control escape = chr(ord(X) % 32).  Emit the code
+                # point explicitly instead of Java's \cX: Java computes
+                # X ^ 64, which agrees with ECMA for letters but NOT for
+                # Annex B's in-class ClassControlLetter digits/underscore
+                # ('5'^64 = 'u' vs '5'%32 = \x15).  Valid control letters:
+                # [A-Za-z] outside a class; [A-Za-z0-9_] inside (Annex B).
+                nxt2 = pattern[i + 2] if i + 2 < n else ""
+                is_letter = "a" <= nxt2 <= "z" or "A" <= nxt2 <= "Z"
+                is_class_ctrl = is_letter or nxt2.isdigit() or nxt2 == "_"
+                if (in_class and is_class_ctrl) or (not in_class and is_letter):
+                    out.append("\\u%04X" % (ord(nxt2) % 32))
                     i += 3
                     continue
-                # Annex B: \c NOT followed by a letter is the literal
-                # two-char sequence '\c' — Java would instead read a
-                # control escape (\c1 = control-'1'), silently matching
-                # the wrong character, so emit an escaped backslash.
+                # Annex B: otherwise \c is the literal two-char sequence
+                # '\c' — Java would instead read a control escape
+                # (\c1 = control-'1'), silently matching the wrong char,
+                # so emit an escaped backslash.
                 out.append("\\\\c")
                 i += 2
                 continue
@@ -144,26 +150,24 @@ def compile_python(pattern: str) -> re.Pattern:
     """Compile the ECMA pattern for Python-side (pandas UDF) matching.
 
     Python ``re`` ``$`` also matches before a trailing newline; use
-    ``\\Z`` for end-of-input, mirroring :func:`translate`.  Python has
-    no ``\\cX`` control escape (Java does), so translated control
-    escapes are lowered to their literal code points (X mod 32).
+    ``\\Z`` for end-of-input, mirroring :func:`translate` (which
+    already lowers ECMA control escapes to explicit ``\\uXXXX`` code
+    points, so they need no Python-specific handling).
     """
-    java = translate(pattern).replace("\\z", "\\Z")
-    # lower \cX escape-context-aware: a blind re.sub would also rewrite
-    # the 'c' after an ESCAPED backslash (pattern '\\cA' — literal
-    # backslash + 'cA') into a control char, corrupting the pattern.
+    java = translate(pattern)
+    # rewrite Java's end-of-input \z to Python's \Z ESCAPE-CONTEXT-
+    # aware: a blind str.replace would also rewrite the 'z' after an
+    # ESCAPED backslash (pattern '\\z' — literal backslash + 'z'),
+    # corrupting the pattern.  Control escapes never reach here:
+    # translate emits them as explicit \uXXXX code points.
     out: list[str] = []
     i, n = 0, len(java)
     while i < n:
         c = java[i]
         if c == "\\" and i + 1 < n:
             nxt = java[i + 1]
-            if nxt == "c" and i + 2 < n and java[i + 2].isalpha():
-                out.append("\\x%02x" % (ord(java[i + 2]) % 32))
-                i += 3
-                continue
             out.append(c)
-            out.append(nxt)
+            out.append("Z" if nxt == "z" else nxt)
             i += 2
             continue
         out.append(c)
@@ -174,7 +178,7 @@ def compile_python(pattern: str) -> re.Pattern:
 def is_valid_ecma(pattern: str) -> bool:
     """Best-effort validity check for ``format: regex``."""
     try:
-        re.compile(translate(pattern).replace("\\z", "\\Z"))
+        compile_python(pattern)
         return True
     except re.error:
         return False

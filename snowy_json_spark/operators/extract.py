@@ -96,20 +96,26 @@ def robots_noindex(html_col: Column) -> Column:
     JVM regexp over the decoded payload; null html → false (a missing
     page cannot opt out)."""
     s = F.lower(html_col.cast("string"))
-    # content value may be quoted ('...noindex...') or a bare token
-    # (content=noindex); the quoted alternative must come first
-    value_with_noindex = r"((\"|')[^\"']*noindex|[^>\s\"']*noindex)"
-    name_then_content = (
-        r"<meta[^>]*name\s*=\s*(\"|')?(robots|googlebot)(\"|')?[^>]*"
-        r"content\s*=\s*" + value_with_noindex
+    # per-TAG matching: extract each <meta ...> tag, then require the
+    # name and content attributes independently WITHIN one tag — no
+    # attribute-order assumption, and a robots meta in one tag can
+    # never combine with a noindex in another.  The name value is
+    # matched exactly (quoted, or bare terminated by space/'>'/'/'),
+    # so name="googlebot-news" (a News-only opt-out) does not trip the
+    # filter.  Limitation, documented: this is a regex-level filter —
+    # the literal text name=robots content=noindex INSIDE another
+    # attribute's quoted value still matches; full immunity needs an
+    # HTML attribute parser.
+    name_pat = (
+        r"name\s*=\s*(\"(robots|googlebot)\"|'(robots|googlebot)'"
+        r"|(robots|googlebot)(?=[\s/>]))"
     )
-    content_then_name = (
-        r"<meta[^>]*content\s*=\s*((\"|')[^\"']*noindex[^\"']*(\"|')"
-        r"|[^>\s\"']*noindex[^>\s\"']*)[^>]*name\s*=\s*(\"|')?(robots|googlebot)"
+    content_pat = (
+        r"content\s*=\s*(\"[^\"]*noindex|'[^']*noindex"
+        r"|[^\s>\"']*noindex)"
     )
-    hit = (F.length(F.regexp_extract(s, name_then_content, 0)) > 0) | (
-        F.length(F.regexp_extract(s, content_then_name, 0)) > 0
-    )
+    tags = F.regexp_extract_all(s, F.lit(r"<meta[^>]*>"), 0)
+    hit = F.exists(tags, lambda t: t.rlike(name_pat) & t.rlike(content_pat))
     return F.coalesce(hit, F.lit(False))
 
 

@@ -108,13 +108,16 @@ def minhash_dedup_batch(
 
     def fn(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        batch.persist()
+        # every persist is released in the finally: a continuous
+        # stream calls this once per epoch, and leaked cache entries
+        # would fill executor storage monotonically
+        cached = [batch.persist()]
         try:
             new_sigs, new_bands = minhash_index(
                 batch, id_col, text_col, n_hashes, n_bands, shingle_k, mode, seed
             )
-            new_sigs.persist()
-            new_bands.persist()
+            cached.append(new_sigs.persist())
+            cached.append(new_bands.persist())
             dup_sets = []
             if intra_batch:
                 intra = probe_index(
@@ -153,6 +156,7 @@ def minhash_dedup_batch(
                 for d in dup_sets[1:]:
                     dups = dups.unionAll(d)
                 dups = dups.distinct().persist()
+                cached.append(dups)
                 survivors = batch.join(
                     dups, batch[id_col] == dups["new_id"], "left_anti"
                 )
@@ -165,7 +169,8 @@ def minhash_dedup_batch(
                 "overwrite"
             ).parquet(f"{bands_dir}/batch_id={batch_id}")
         finally:
-            batch.unpersist()
+            for df_ in cached:
+                df_.unpersist()
 
     return fn
 

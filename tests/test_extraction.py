@@ -76,13 +76,20 @@ def test_robots_noindex_variants(spark):
             b"</head><body>x</body></html>"),
         (10, b"<html><head><meta content=nofollow,noindex name=robots>"
              b"</head><body>x</body></html>"),
+        # News-only opt-out must NOT trip the general filter
+        (11, b'<html><head><meta name="googlebot-news" content="noindex">'
+             b"</head><body>x</body></html>"),
+        # robots meta in ONE tag + noindex in ANOTHER must not combine
+        (12, b'<html><head><meta name="robots" content="all">'
+             b'<meta name="descr" content="noindex"></head>'
+             b"<body>x</body></html>"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, html binary")
     got = {r["doc_id"]: r["ni"] for r in df.select(
         "doc_id", robots_noindex(F.col("html")).alias("ni")).collect()}
     assert got == {1: True, 2: True, 3: True, 4: True,
                    5: False, 6: False, 7: False, 8: False,
-                   9: True, 10: True}
+                   9: True, 10: True, 11: False, 12: False}
     kept = {r["doc_id"] for r in noindex_filter(df).collect()}
     # null html cannot opt out, so it is kept
-    assert kept == {5, 6, 7, 8}
+    assert kept == {5, 6, 7, 8, 11, 12}

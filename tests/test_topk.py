@@ -140,3 +140,13 @@ def test_domain_cap_caps_per_host(spark):
         .collect()
     }
     assert kept == expect
+
+
+def test_two_stage_requires_salt(spark):
+    df = _skewed(spark, n=10)
+    try:
+        top_k_per_key(df, "key", [F.col("score").desc()], 2, impl="two_stage")
+    except ValueError as e:
+        assert "salt_col" in str(e)
+    else:
+        raise AssertionError("two_stage without salt_col should raise")
