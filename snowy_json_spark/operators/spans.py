@@ -130,7 +130,7 @@ def redact_spans(
             for start, end, tag in sorted(
                 clipped, key=lambda s: (s[0], -s[1])
             ):
-                if merged and start <= merged[-1][1]:
+                if merged and start < merged[-1][1]:
                     merged[-1][1] = max(merged[-1][1], end)
                 else:
                     merged.append([start, end, tag])

@@ -68,7 +68,7 @@ def _ref_redact(text, spans):
     )
     merged = []
     for start, end, tag in clipped:
-        if merged and start <= merged[-1][1]:
+        if merged and start < merged[-1][1]:
             merged[-1][1] = max(merged[-1][1], end)
         else:
             merged.append([start, end, tag])

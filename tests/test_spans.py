@@ -89,3 +89,20 @@ def test_custom_taggers(spark):
                     taggers={"order": r"#[A-Z]\d+"}).first()["spans"]
     assert [(s["start"], s["end"], s["tag"]) for s in got] == [
         (6, 11, "order"), (16, 20, "order")]
+
+
+def test_redact_adjacent_spans_stay_separate(spark):
+    """Back-to-back (touching, non-overlapping) entities keep their
+    own redaction markers — only genuine overlap merges."""
+    df = spark.createDataFrame([(1, "a@b5551x")], "doc_id long, text string")
+    tagged = df.withColumn(
+        "spans",
+        F.array(
+            F.struct(F.lit(0).alias("start"), F.lit(3).alias("end"),
+                     F.lit("email").alias("tag")),
+            F.struct(F.lit(3).alias("start"), F.lit(7).alias("end"),
+                     F.lit("phone").alias("tag")),
+        ),
+    )
+    out = redact_spans(tagged, "text", out_col="clean").first()["clean"]
+    assert out == "<EMAIL><PHONE>x"
