@@ -2063,6 +2063,54 @@ def _q_corpus_diff_documents(spark, sf_dir):
     return corpus_diff(old, new, "doc_id", "text").orderBy("doc_id")
 
 
+def _q_link_graph_documents(spark, sf_dir):
+    """Link extraction (extract.extract_links): html is synthesized
+    with two hrefs per document whose targets are doc_id arithmetic
+    (host d%13 then host (3d+1)%13), so the oracle reproduces every
+    (src_url, link_pos, link) row without parsing anything."""
+    from snowy_json_spark.operators.extract import extract_links
+
+    d = F.col("doc_id")
+    html = F.encode(
+        F.concat(
+            F.lit('<html><body><a href="https://h'),
+            (d % 13).cast("string"),
+            F.lit('.ex/x">a</a> text <a class="l" href="https://h'),
+            ((d * 3 + 1) % 13).cast("string"),
+            F.lit(".ex/y\">b</a></body></html>"),
+        ),
+        "UTF-8",
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://src"), d.cast("string"), F.lit(".ex/p")).alias(
+            "url"
+        ),
+        html.alias("html"),
+    )
+    return extract_links(docs).orderBy("src_url", "link_pos")
+
+
+def _q_pagerank_documents(spark, sf_dir):
+    """PageRank (graph.page_rank, 3 fixed iterations, d=0.85) over an
+    11-node graph whose distinct edge set comes from doc_id arithmetic
+    (src d%11 → dst (5d+2)%11, doc_id < 200); the oracle unrolls the
+    same three power iterations as chained CTEs with identical
+    arithmetic (rank · (1/outdeg), (1−d) + d·Σ)."""
+    from snowy_json_spark.operators.graph import page_rank
+
+    d = F.col("doc_id")
+    edges = (
+        _docs(spark, sf_dir)
+        .filter(d < 200)
+        .select((d % 11).alias("src"), ((d * 5 + 2) % 11).alias("dst"))
+        .distinct()
+    )
+    out = page_rank(edges, "src", "dst", n_iter=3)
+    return out.select(
+        "node", F.round("rank", 6).alias("rank")
+    ).orderBy("node")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_validation_documents": _q_row_validation_documents,
@@ -2132,6 +2180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_text_documents": _q_chunk_text_documents,
         "noindex_documents": _q_noindex_documents,
         "corpus_diff_documents": _q_corpus_diff_documents,
+        "link_graph_documents": _q_link_graph_documents,
+        "pagerank_documents": _q_pagerank_documents,
         # approximate-path queries, promoted to exact-verified /
         # recall-arithmetic oracle forms in round 4 (all 4 have
         # oracle_sql entries now)
@@ -2778,6 +2828,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
                    CAST(SUM(doc_id) AS BIGINT) AS id_sum
             FROM kept GROUP BY source ORDER BY source
+        """,
+        "link_graph_documents": """
+            WITH l AS (
+              SELECT 'https://src' || CAST(doc_id AS VARCHAR) || '.ex/p'
+                       AS src_url,
+                     0 AS link_pos,
+                     'https://h' || CAST(doc_id % 13 AS VARCHAR) || '.ex/x'
+                       AS link
+              FROM documents
+              UNION ALL
+              SELECT 'https://src' || CAST(doc_id AS VARCHAR) || '.ex/p',
+                     1,
+                     'https://h' || CAST((doc_id * 3 + 1) % 13 AS VARCHAR)
+                       || '.ex/y'
+              FROM documents)
+            SELECT src_url, CAST(link_pos AS INTEGER) AS link_pos, link
+            FROM l ORDER BY src_url, link_pos
+        """,
+        "pagerank_documents": """
+            WITH e AS (
+              SELECT DISTINCT doc_id % 11 AS src, (doc_id * 5 + 2) % 11 AS dst
+              FROM documents WHERE doc_id < 200),
+            n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+            w AS (SELECT e.src, e.dst, 1.0 / deg.d AS w
+                  FROM e JOIN deg USING (src)),
+            r0 AS (SELECT node, 1.0 AS rank FROM n),
+            r1 AS (
+              SELECT n.node, 0.15 + 0.85 * COALESCE(s.c, 0.0) AS rank
+              FROM n LEFT JOIN (
+                SELECT w.dst AS node, SUM(r0.rank * w.w) AS c
+                FROM w JOIN r0 ON r0.node = w.src GROUP BY w.dst) s
+              USING (node)),
+            r2 AS (
+              SELECT n.node, 0.15 + 0.85 * COALESCE(s.c, 0.0) AS rank
+              FROM n LEFT JOIN (
+                SELECT w.dst AS node, SUM(r1.rank * w.w) AS c
+                FROM w JOIN r1 ON r1.node = w.src GROUP BY w.dst) s
+              USING (node)),
+            r3 AS (
+              SELECT n.node, 0.15 + 0.85 * COALESCE(s.c, 0.0) AS rank
+              FROM n LEFT JOIN (
+                SELECT w.dst AS node, SUM(r2.rank * w.w) AS c
+                FROM w JOIN r2 ON r2.node = w.src GROUP BY w.dst) s
+              USING (node))
+            SELECT node, ROUND(rank, 6) AS rank FROM r3 ORDER BY node
         """,
         "corpus_diff_documents": """
             WITH o AS (

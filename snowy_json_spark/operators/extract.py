@@ -123,3 +123,22 @@ def noindex_filter(df: DataFrame, html_col: str = "html") -> DataFrame:
     """Drop pages that opt out of indexing; the cheapest respectful
     pre-filter, run before text heuristics ever read the body."""
     return df.filter(~robots_noindex(F.col(html_col)))
+
+
+def extract_links(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """The crawl link graph's edge extractor: one row per ``href``
+    found in the page — ``(src_url, link)`` — via
+    ``regexp_extract_all`` + ``posexplode`` (pure JVM, no UDF).
+    Matches quoted hrefs in anchor/link tags; relative links are kept
+    as-is (resolution against the base url is a downstream join
+    concern); pages with no links or null html contribute no rows."""
+    s = F.col(html_col).cast("string")
+    hrefs = F.regexp_extract_all(
+        s, F.lit(r"<a[^>]*href\s*=\s*[\"']([^\"'>]+)[\"']"), 1
+    )
+    return df.select(
+        F.col(url_col).alias("src_url"),
+        F.posexplode(hrefs).alias("link_pos", "link"),
+    )
