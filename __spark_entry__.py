@@ -2111,6 +2111,31 @@ def _q_pagerank_documents(spark, sf_dir):
     ).orderBy("node")
 
 
+def _q_winnowing_pairs_documents(spark, sf_dir):
+    """Winnowing fingerprint candidates (dedup.fingerprint_candidate_
+    pairs, the MOSS scheme): 50 documents in 10 groups with DISJOINT
+    two-letter alphabets — same-group docs share a 30-char prefix
+    (≥ k+window−1, so a shared fingerprint is guaranteed by the
+    winnowing theorem), cross-group docs share no k-gram at all —
+    so the candidate pair set must be exactly the same-group pairs,
+    which the oracle enumerates arithmetically."""
+    from snowy_json_spark.operators.dedup import fingerprint_candidate_pairs
+
+    d = F.col("doc_id")
+    g = d % 10
+    c1 = F.char(F.lit(97) + g * 2)
+    c2 = F.char(F.lit(98) + g * 2)
+    prefix = F.repeat(F.concat(c1, c2), 15)
+    suffix = F.repeat(c1, (d / 10).cast("int") + 3)
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(d < 50)
+        .select("doc_id", F.concat(prefix, suffix).alias("text"))
+    )
+    pairs = fingerprint_candidate_pairs(docs, "doc_id", "text")
+    return pairs.select("id_a", "id_b").orderBy("id_a", "id_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_validation_documents": _q_row_validation_documents,
@@ -2182,6 +2207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff_documents": _q_corpus_diff_documents,
         "link_graph_documents": _q_link_graph_documents,
         "pagerank_documents": _q_pagerank_documents,
+        "winnowing_pairs_documents": _q_winnowing_pairs_documents,
         # approximate-path queries, promoted to exact-verified /
         # recall-arithmetic oracle forms in round 4 (all 4 have
         # oracle_sql entries now)
@@ -2828,6 +2854,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
                    CAST(SUM(doc_id) AS BIGINT) AS id_sum
             FROM kept GROUP BY source ORDER BY source
+        """,
+        "winnowing_pairs_documents": """
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM documents a JOIN documents b
+              ON a.doc_id < b.doc_id AND a.doc_id % 10 = b.doc_id % 10
+            WHERE a.doc_id < 50 AND b.doc_id < 50
+            ORDER BY id_a, id_b
         """,
         "link_graph_documents": """
             WITH l AS (

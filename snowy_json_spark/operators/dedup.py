@@ -896,3 +896,45 @@ def probe_index(
         .select("new_id", "old_id", (eq / F.size(F.col("sig_a"))).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
     )
+
+
+def fingerprint_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 7,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing-based near-dup candidates (the MOSS scheme,
+    Schleimer et al. 2003): two documents sharing any substring of
+    length ≥ k + window − 1 are GUARANTEED to share a winnowing
+    fingerprint, so the banded self-join over fingerprints finds all
+    such pairs without all-pairs comparison — the third LSH family
+    next to MinHash (set overlap) and SimHash (vector angle), tuned
+    for verbatim-passage reuse.
+
+    Plan: fingerprints (pure Column) → explode → self-join on the
+    64-bit fingerprint → distinct (a < b) pairs with the shared-
+    fingerprint count.  Shuffle ∝ rows × fingerprints-per-doc; like
+    every banded join here, hot fingerprints (boilerplate snippets)
+    can be capped upstream by filtering high-frequency fingerprints
+    before the join."""
+    from .text import winnowing_fingerprints
+
+    fps = df.select(
+        F.col(id_col),
+        F.explode(
+            winnowing_fingerprints(F.col(text_col), k=k, window=window)
+        ).alias("fp"),
+    )
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_fingerprints"))
+    )

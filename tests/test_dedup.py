@@ -374,3 +374,22 @@ def test_simhash_bucket_cap_bounds_hot_bands(spark):
     got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert (100, 101) in got
     assert not any(a < 100 and b < 100 for a, b in got)
+
+
+def test_fingerprint_candidate_pairs_guarantee(spark):
+    """Winnowing guarantee: docs sharing a substring of length >=
+    k+window-1 share a fingerprint; disjoint-alphabet docs share
+    nothing."""
+    from snowy_json_spark.operators.dedup import fingerprint_candidate_pairs
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, shared + " alpha tail one"),
+        (2, shared + " beta tail two"),
+        (3, "zzz qqq www eee rrr ttt yyy uuu iii ooo ppp"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["n_shared_fingerprints"]
+           for r in fingerprint_candidate_pairs(df, "doc_id", "text").collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 1
+    assert all(p == (1, 2) for p in got)
