@@ -904,6 +904,7 @@ def fingerprint_candidate_pairs(
     text_col: str,
     k: int = 7,
     window: int = 4,
+    max_bucket_rows: int | None = None,
 ) -> DataFrame:
     """Winnowing-based near-dup candidates (the MOSS scheme,
     Schleimer et al. 2003): two documents sharing any substring of
@@ -915,10 +916,13 @@ def fingerprint_candidate_pairs(
 
     Plan: fingerprints (pure Column) → explode → self-join on the
     64-bit fingerprint → distinct (a < b) pairs with the shared-
-    fingerprint count.  Shuffle ∝ rows × fingerprints-per-doc; like
-    every banded join here, hot fingerprints (boilerplate snippets)
-    can be capped upstream by filtering high-frequency fingerprints
-    before the join."""
+    fingerprint count.  Shuffle ∝ rows × fingerprints-per-doc.
+    ``max_bucket_rows`` drops fingerprints shared by more documents
+    than the cap BEFORE the self-join — the same hot-bucket guard as
+    ``simhash_near_duplicates``: a boilerplate snippet on 10^6 pages
+    would otherwise explode quadratically; pairs joined ONLY by such
+    ubiquitous snippets are lost by documented recall, never by a
+    runaway join."""
     from .text import winnowing_fingerprints
 
     fps = df.select(
@@ -927,6 +931,12 @@ def fingerprint_candidate_pairs(
             winnowing_fingerprints(F.col(text_col), k=k, window=window)
         ).alias("fp"),
     )
+    if max_bucket_rows is not None:
+        sizes = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_n"))
+        fps = (
+            fps.join(sizes.filter(F.col("_n") <= max_bucket_rows), "fp")
+            .drop("_n")
+        )
     a = fps.alias("a")
     b = fps.alias("b")
     return (

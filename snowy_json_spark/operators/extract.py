@@ -106,12 +106,14 @@ def robots_noindex(html_col: Column) -> Column:
     # the literal text name=robots content=noindex INSIDE another
     # attribute's quoted value still matches; full immunity needs an
     # HTML attribute parser.
+    # (?<![\w-]) anchors the attribute NAME to a boundary so
+    # data-name= / itemname= never satisfy the robots match
     name_pat = (
-        r"name\s*=\s*(\"(robots|googlebot)\"|'(robots|googlebot)'"
+        r"(?<![\w-])name\s*=\s*(\"(robots|googlebot)\"|'(robots|googlebot)'"
         r"|(robots|googlebot)(?=[\s/>]))"
     )
     content_pat = (
-        r"content\s*=\s*(\"[^\"]*noindex|'[^']*noindex"
+        r"(?<![\w-])content\s*=\s*(\"[^\"]*noindex|'[^']*noindex"
         r"|[^\s>\"']*noindex)"
     )
     tags = F.regexp_extract_all(s, F.lit(r"<meta[^>]*>"), 0)
@@ -131,12 +133,18 @@ def extract_links(
     """The crawl link graph's edge extractor: one row per ``href``
     found in the page — ``(src_url, link)`` — via
     ``regexp_extract_all`` + ``posexplode`` (pure JVM, no UDF).
-    Matches quoted hrefs in anchor/link tags; relative links are kept
-    as-is (resolution against the base url is a downstream join
-    concern); pages with no links or null html contribute no rows."""
+    Matches quoted hrefs in ``<a>`` and ``<link>`` tags (tag name
+    bounded by whitespace, so ``<article data-href=…>`` is not an
+    anchor; the closing quote must equal the opening quote, so a URL
+    containing the other quote char survives intact); relative links
+    are kept as-is (resolution against the base url is a downstream
+    join concern); pages with no links or null html contribute no
+    rows."""
     s = F.col(html_col).cast("string")
     hrefs = F.regexp_extract_all(
-        s, F.lit(r"<a[^>]*href\s*=\s*[\"']([^\"'>]+)[\"']"), 1
+        s,
+        F.lit(r"<(?:a|link)\s[^>]*?(?<![\w-])href\s*=\s*([\"'])([^>]*?)\1"),
+        2,
     )
     return df.select(
         F.col(url_col).alias("src_url"),

@@ -30,10 +30,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def out_degrees(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
-    return edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("out_deg"))
-
-
 def page_rank(
     edges: DataFrame,
     src_col: str = "src",
@@ -88,7 +84,10 @@ def page_rank(
             )
             if checkpoint_every and (i + 1) % checkpoint_every == 0:
                 ranks = ranks.localCheckpoint(eager=True)
-        return ranks
+        # materialize BEFORE releasing the caches: the returned frame
+        # must not lazily re-derive weighted/nodes (and, through them,
+        # the whole upstream extraction) after they are unpersisted
+        return ranks.localCheckpoint(eager=True)
     finally:
         weighted.unpersist()
         nodes.unpersist()

@@ -393,3 +393,19 @@ def test_fingerprint_candidate_pairs_guarantee(spark):
            for r in fingerprint_candidate_pairs(df, "doc_id", "text").collect()}
     assert (1, 2) in got and got[(1, 2)] >= 1
     assert all(p == (1, 2) for p in got)
+
+
+def test_fingerprint_candidates_bucket_cap(spark):
+    """max_bucket_rows drops ubiquitous fingerprints before the
+    self-join: pairs joined only by the hot snippet disappear."""
+    from snowy_json_spark.operators.dedup import fingerprint_candidate_pairs
+
+    hot = "cookie banner accept all cookies please"
+    rows = [(i, hot + f" unique tail {chr(65 + i) * 6}") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = fingerprint_candidate_pairs(df, "doc_id", "text").count()
+    assert uncapped == 28  # all pairs share the hot prefix
+    capped = fingerprint_candidate_pairs(
+        df, "doc_id", "text", max_bucket_rows=3
+    ).count()
+    assert capped == 0

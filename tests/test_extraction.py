@@ -93,3 +93,18 @@ def test_robots_noindex_variants(spark):
     kept = {r["doc_id"] for r in noindex_filter(df).collect()}
     # null html cannot opt out, so it is kept
     assert kept == {5, 6, 7, 8, 11, 12}
+
+
+def test_noindex_attribute_name_boundary(spark):
+    from snowy_json_spark.operators.extract import robots_noindex
+
+    rows = [
+        (1, b'<html><head><meta data-name="robots" content="noindex-state">'
+            b"</head><body>x</body></html>"),
+        (2, b'<html><head><meta itemname="robots" content="noindex">'
+            b"</head><body>x</body></html>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html binary")
+    got = {r["doc_id"]: r["ni"] for r in df.select(
+        "doc_id", robots_noindex(F.col("html")).alias("ni")).collect()}
+    assert got == {1: False, 2: False}

@@ -81,3 +81,19 @@ def test_host_rank_end_to_end(spark):
     assert set(got) == set(want)
     for n in want:
         assert got[n] == pytest.approx(want[n], rel=1e-10)
+
+
+def test_extract_links_quote_and_tag_precision(spark):
+    """A URL containing the other quote char survives intact; tags
+    merely STARTING with 'a' (or data-href attributes) are not
+    anchors; <link href> IS extracted."""
+    html = (b'<html><head><link rel="canon" href="https://c.ex/canon">'
+            b"</head><body>"
+            b'<a href="https://ex.com/o\'brien">q</a>'
+            b'<article data-href="https://no.ex/1">t</article>'
+            b"<audio data-href='https://no.ex/2'></audio>"
+            b"</body></html>")
+    df = spark.createDataFrame([("https://s.ex/p", html)],
+                               "url string, html binary")
+    got = [r["link"] for r in extract_links(df).orderBy("link_pos").collect()]
+    assert got == ["https://c.ex/canon", "https://ex.com/o'brien"]
