@@ -2136,6 +2136,22 @@ def _q_winnowing_pairs_documents(spark, sf_dir):
     return pairs.select("id_a", "id_b").orderBy("id_a", "id_b")
 
 
+def _q_tfidf_documents(spark, sf_dir):
+    """TF-IDF distinctive terms per source (text.top_terms_per_group,
+    riding the WindowGroupLimit top-k): tf per (source, word),
+    idf = ln(N_sources / df), top 3 per source with (score desc,
+    word) determinism; the oracle replicates counting, the idf log
+    and the ranking window in SQL."""
+    from snowy_json_spark.operators.text import top_terms_per_group
+
+    out = top_terms_per_group(
+        _docs(spark, sf_dir), "source", "text", k=3, min_count=2
+    )
+    return out.select(
+        "source", "word", "tf", F.round("tfidf", 6).alias("tfidf"), "rank"
+    ).orderBy("source", "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_validation_documents": _q_row_validation_documents,
@@ -2208,6 +2224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph_documents": _q_link_graph_documents,
         "pagerank_documents": _q_pagerank_documents,
         "winnowing_pairs_documents": _q_winnowing_pairs_documents,
+        "tfidf_documents": _q_tfidf_documents,
         # approximate-path queries, promoted to exact-verified /
         # recall-arithmetic oracle forms in round 4 (all 4 have
         # oracle_sql entries now)
@@ -2854,6 +2871,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
                    CAST(SUM(doc_id) AS BIGINT) AS id_sum
             FROM kept GROUP BY source ORDER BY source
+        """,
+        "tfidf_documents": f"""
+            WITH w AS (
+              SELECT source, unnest({_WORDS}) AS word FROM documents),
+            tf AS (
+              SELECT source, word, COUNT(*) AS tf
+              FROM w GROUP BY source, word HAVING COUNT(*) >= 2),
+            ng AS (
+              SELECT CAST(COUNT(DISTINCT source) AS DOUBLE) AS n
+              FROM documents),
+            idf AS (SELECT word, COUNT(*) AS df_groups FROM tf GROUP BY word),
+            sc AS (
+              SELECT tf.source, tf.word, tf.tf,
+                     tf.tf * ln(ng.n / idf.df_groups) AS tfidf
+              FROM tf JOIN idf USING (word), ng),
+            r AS (
+              SELECT source, word, tf, tfidf,
+                     row_number() OVER (
+                       PARTITION BY source ORDER BY tfidf DESC, word ASC
+                     ) AS rank
+              FROM sc)
+            SELECT source, word, CAST(tf AS BIGINT) AS tf,
+                   ROUND(tfidf, 6) AS tfidf, CAST(rank AS INTEGER) AS rank
+            FROM r WHERE rank <= 3 ORDER BY source, rank
         """,
         "winnowing_pairs_documents": """
             SELECT a.doc_id AS id_a, b.doc_id AS id_b

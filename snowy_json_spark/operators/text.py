@@ -713,3 +713,52 @@ def remove_repeated_paragraphs(
         F.coalesce(F.col("n_paras"), F.lit(0)).alias("n_paras"),
         F.coalesce(F.col("n_removed"), F.lit(0)).alias("n_removed"),
     )
+
+
+def top_terms_per_group(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    k: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """TF-IDF distinctive terms per group — the corpus-composition
+    question "what is each source/language/host actually about":
+    ``tf`` = term count within the group, ``idf`` = ln(N_groups /
+    n_groups_containing_term), score = tf·idf, top ``k`` terms per
+    group (ties broken by term for determinism).  Terms below
+    ``min_count`` occurrences in a group are ignored (hapax noise).
+
+    Plan: one explode → (group, word) partial-agg count; document
+    frequency is a second small aggregate over the distinct (group,
+    word) pairs; the per-group top-k rides
+    :func:`snowy_json_spark.operators.topk.top_k_per_key`'s
+    WindowGroupLimit plan.  Shuffle ∝ distinct (group, word) pairs —
+    vocabulary-bounded, never corpus-bounded."""
+    from .topk import top_k_per_key
+
+    tf = (
+        df.select(F.col(group_col), F.explode(words(F.col(text_col))).alias("word"))
+        .groupBy(group_col, "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .filter(F.col("tf") >= min_count)
+    )
+    n_groups = df.select(group_col).distinct().count()
+    idf = tf.groupBy("word").agg(
+        F.count(F.lit(1)).alias("df_groups")
+    )
+    scored = tf.join(idf, "word").select(
+        group_col,
+        "word",
+        "tf",
+        (F.col("tf") * F.log(F.lit(float(n_groups)) / F.col("df_groups"))).alias(
+            "tfidf"
+        ),
+    )
+    return top_k_per_key(
+        scored,
+        group_col,
+        [F.col("tfidf").desc(), F.col("word").asc()],
+        k,
+        rank_col="rank",
+    )

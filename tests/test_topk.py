@@ -150,3 +150,28 @@ def test_two_stage_requires_salt(spark):
         assert "salt_col" in str(e)
     else:
         raise AssertionError("two_stage without salt_col should raise")
+
+
+def test_top_terms_per_group_tfidf(spark):
+    from snowy_json_spark.operators.text import top_terms_per_group
+
+    rows = [
+        ("s1", "alpha alpha alpha shared shared"),
+        ("s1", "alpha beta shared"),
+        ("s2", "gamma gamma shared shared"),
+        ("s2", "gamma delta delta shared"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = top_terms_per_group(df, "source", "text", k=2, min_count=2)
+    import math
+    by = {(r["source"], r["rank"]): (r["word"], r["tf"], r["tfidf"])
+          for r in got.collect()}
+    # s1: alpha tf=4 unique to s1 → 4·ln2 ; shared appears in both → idf 0
+    assert by[("s1", 1)][0] == "alpha"
+    assert abs(by[("s1", 1)][2] - 4 * math.log(2)) < 1e-9
+    # s2: gamma tf=3 beats delta tf=2
+    assert by[("s2", 1)][0] == "gamma"
+    assert by[("s2", 2)][0] == "delta"
+    # zero-idf 'shared' can appear only after positive-score terms
+    assert by[("s1", 2)][0] in ("shared",)
+    assert by[("s1", 2)][2] == 0.0
