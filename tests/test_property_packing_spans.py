@@ -95,3 +95,55 @@ def test_redact_spans_matches_reference(spark, text, spans):
     )
     got = redact_spans(df, "text", out_col="clean").first()["clean"]
     assert got == _ref_redact(text, spans), (text, spans)
+
+
+rec_strategy = st.lists(
+    st.fixed_dictionaries({
+        "rec_type": st.sampled_from(["response", "request", "warcinfo"]),
+        "url": st.one_of(st.none(), st.text(
+            alphabet="abc:/.-", min_size=1, max_size=30)),
+        "warc_ts": st.one_of(st.none(),
+                             st.just("2026-01-02T03:04:05Z")),
+        "payload": st.binary(max_size=200),
+    }),
+    min_size=0,
+    max_size=5,
+)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(recs=rec_strategy, compress=st.booleans())
+def test_warc_roundtrip_random_records(recs, compress):
+    """Writer→parser round-trip holds for arbitrary payload bytes
+    (including CRLF-laden payloads that could confuse framing), both
+    plain and per-record-gzip."""
+    from snowy_json_spark.sources.warc import build_warc, parse_warc_blob
+
+    blob = build_warc(recs, compress=compress)
+    got = list(parse_warc_blob(blob, "t"))
+    assert len(got) == len(recs)
+    for want, r in zip(recs, got):
+        assert r["rec_type"] == want["rec_type"]
+        assert r["url"] == (want["url"] or None)
+        assert r["payload"] == want["payload"]
+        if want["rec_type"] == "response":
+            assert r["http_status"] == 200
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(
+    st.text(min_size=0, max_size=60), min_size=1, max_size=6))
+def test_canonical_text_idempotent_on_random_unicode(spark, texts):
+    from snowy_json_spark.operators.normalize import canonical_text
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string")
+    once = [r["t"] for r in df.select(
+        canonical_text(F.col("text")).alias("t")).orderBy("id").collect()]
+    df2 = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(once)], "id long, text string")
+    twice = [r["t"] for r in df2.select(
+        canonical_text(F.col("text")).alias("t")).orderBy("id").collect()]
+    assert once == twice
