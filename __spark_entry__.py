@@ -2147,9 +2147,9 @@ def _q_tfidf_documents(spark, sf_dir):
     out = top_terms_per_group(
         _docs(spark, sf_dir), "source", "text", k=3, min_count=2
     )
-    return out.select(
-        "source", "word", "tf", F.round("tfidf", 6).alias("tfidf"), "rank"
-    ).orderBy("source", "rank")
+    return out.select("source", "word", "tf", "tfidf", "rank").orderBy(
+        "source", "rank"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2875,25 +2875,27 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_documents": f"""
             WITH w AS (
               SELECT source, unnest({_WORDS}) AS word FROM documents),
-            tf AS (
+            tfall AS (
               SELECT source, word, COUNT(*) AS tf
-              FROM w GROUP BY source, word HAVING COUNT(*) >= 2),
+              FROM w GROUP BY source, word),
             ng AS (
               SELECT CAST(COUNT(DISTINCT source) AS DOUBLE) AS n
               FROM documents),
-            idf AS (SELECT word, COUNT(*) AS df_groups FROM tf GROUP BY word),
+            idf AS (SELECT word, COUNT(*) AS df_groups
+                    FROM tfall GROUP BY word),
             sc AS (
-              SELECT tf.source, tf.word, tf.tf,
-                     tf.tf * ln(ng.n / idf.df_groups) AS tfidf
-              FROM tf JOIN idf USING (word), ng),
+              SELECT t.source, t.word, t.tf,
+                     ROUND(t.tf * ln(ng.n / idf.df_groups), 6) AS tfidf
+              FROM tfall t JOIN idf USING (word), ng
+              WHERE t.tf >= 2),
             r AS (
               SELECT source, word, tf, tfidf,
                      row_number() OVER (
                        PARTITION BY source ORDER BY tfidf DESC, word ASC
                      ) AS rank
               FROM sc)
-            SELECT source, word, CAST(tf AS BIGINT) AS tf,
-                   ROUND(tfidf, 6) AS tfidf, CAST(rank AS INTEGER) AS rank
+            SELECT source, word, CAST(tf AS BIGINT) AS tf, tfidf,
+                   CAST(rank AS INTEGER) AS rank
             FROM r WHERE rank <= 3 ORDER BY source, rank
         """,
         "winnowing_pairs_documents": """

@@ -40,7 +40,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     path = "/tmp/bench_pr_edges"
     # Zipf-ish dst: square a uniform hash so low ids are hot hubs
-    u = (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1_000_000)) / 1_000_000.0)
+    u = (
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(args.nodes)) / float(args.nodes)
+    )
     (
         spark.range(args.edges, numPartitions=args.cpus * 2)
         .select(

@@ -725,40 +725,64 @@ def top_terms_per_group(
     """TF-IDF distinctive terms per group — the corpus-composition
     question "what is each source/language/host actually about":
     ``tf`` = term count within the group, ``idf`` = ln(N_groups /
-    n_groups_containing_term), score = tf·idf, top ``k`` terms per
-    group (ties broken by term for determinism).  Terms below
-    ``min_count`` occurrences in a group are ignored (hapax noise).
+    n_groups_containing_term) computed over ALL occurrences (the
+    ``min_count`` floor only gates which terms are *emitted*, never
+    the document frequency — a term appearing once in every group is
+    ubiquitous, not distinctive), score = round(tf·idf, 6) (ranking
+    on the rounded score keeps orderings reproducible across engines
+    whose ln() differ in the last ulp), top ``k`` terms per group
+    with ties broken by term.
+
+    NULL groups participate as a group but are excluded from
+    ``N_groups`` (count-distinct semantics, matching SQL).
 
     Plan: one explode → (group, word) partial-agg count; document
-    frequency is a second small aggregate over the distinct (group,
-    word) pairs; the per-group top-k rides
+    frequency and N_groups are small aggregates composed LAZILY into
+    the same plan (no driver-side job at construction); the per-group
+    top-k rides
     :func:`snowy_json_spark.operators.topk.top_k_per_key`'s
     WindowGroupLimit plan.  Shuffle ∝ distinct (group, word) pairs —
     vocabulary-bounded, never corpus-bounded."""
     from .topk import top_k_per_key
 
-    tf = (
-        df.select(F.col(group_col), F.explode(words(F.col(text_col))).alias("word"))
-        .groupBy(group_col, "word")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .filter(F.col("tf") >= min_count)
+    tf_all = (
+        df.select(
+            F.col(group_col).alias("_tt_g"),
+            F.explode(words(F.col(text_col))).alias("_tt_w"),
+        )
+        .groupBy("_tt_g", "_tt_w")
+        .agg(F.count(F.lit(1)).alias("_tt_tf"))
     )
-    n_groups = df.select(group_col).distinct().count()
-    idf = tf.groupBy("word").agg(
-        F.count(F.lit(1)).alias("df_groups")
+    ng = df.agg(F.count_distinct(F.col(group_col)).alias("_tt_n"))
+    idf = tf_all.groupBy("_tt_w").agg(
+        F.count(F.lit(1)).alias("_tt_df")
     )
-    scored = tf.join(idf, "word").select(
-        group_col,
-        "word",
-        "tf",
-        (F.col("tf") * F.log(F.lit(float(n_groups)) / F.col("df_groups"))).alias(
-            "tfidf"
-        ),
+    scored = (
+        tf_all.filter(F.col("_tt_tf") >= min_count)
+        .join(idf, "_tt_w")
+        .crossJoin(F.broadcast(ng))
+        .select(
+            "_tt_g",
+            "_tt_w",
+            "_tt_tf",
+            F.round(
+                F.col("_tt_tf")
+                * F.log(F.col("_tt_n").cast("double") / F.col("_tt_df")),
+                6,
+            ).alias("_tt_score"),
+        )
     )
-    return top_k_per_key(
+    out = top_k_per_key(
         scored,
-        group_col,
-        [F.col("tfidf").desc(), F.col("word").asc()],
+        "_tt_g",
+        [F.col("_tt_score").desc(), F.col("_tt_w").asc()],
         k,
         rank_col="rank",
+    )
+    return out.select(
+        F.col("_tt_g").alias(group_col),
+        F.col("_tt_w").alias("word"),
+        F.col("_tt_tf").alias("tf"),
+        F.col("_tt_score").alias("tfidf"),
+        "rank",
     )

@@ -61,10 +61,7 @@ def _run_pipeline(spark, glob_path, out_dir):
     pages = read_warc(spark, glob_path).filter(F.col("rec_type") == "response")
     pages = noindex_filter(pages, html_col="payload")
     docs = pages.select(
-        "url",
-        F.regexp_replace(
-            extract_text(F.col("payload")), r"^<meta[^>]*>", ""
-        ).alias("text"),
+        "url", extract_text(F.col("payload")).alias("text")
     )
     cur = curate_documents(docs, "url", "text", min_jaccard=0.8, min_words=20)
     kept = cur.filter(F.col("keep")).select("url", "text")

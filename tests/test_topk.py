@@ -168,7 +168,7 @@ def test_top_terms_per_group_tfidf(spark):
           for r in got.collect()}
     # s1: alpha tf=4 unique to s1 → 4·ln2 ; shared appears in both → idf 0
     assert by[("s1", 1)][0] == "alpha"
-    assert abs(by[("s1", 1)][2] - 4 * math.log(2)) < 1e-9
+    assert abs(by[("s1", 1)][2] - 4 * math.log(2)) < 1e-6
     # s2: gamma tf=3 beats delta tf=2
     assert by[("s2", 1)][0] == "gamma"
     assert by[("s2", 2)][0] == "delta"
