@@ -2152,6 +2152,24 @@ def _q_tfidf_documents(spark, sf_dir):
     )
 
 
+def _q_sentences_documents(spark, sf_dir):
+    """Sentence profile (text.split_sentences / sentence_stats,
+    lookbehind-free sentinel split so RE2 can run the identical
+    rule): per document, sentence count, mean and max sentence
+    length, aggregated over the split array without exploding; the
+    oracle replays the same regexp_replace + split + list arithmetic
+    in DuckDB."""
+    from snowy_json_spark.operators.text import sentence_stats
+
+    out = sentence_stats(_docs(spark, sf_dir), "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "n_sentences",
+        F.round("mean_sentence_chars", 6).alias("mean_sentence_chars"),
+        "max_sentence_chars",
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_validation_documents": _q_row_validation_documents,
@@ -2225,6 +2243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_documents": _q_pagerank_documents,
         "winnowing_pairs_documents": _q_winnowing_pairs_documents,
         "tfidf_documents": _q_tfidf_documents,
+        "sentences_documents": _q_sentences_documents,
         # approximate-path queries, promoted to exact-verified /
         # recall-arithmetic oracle forms in round 4 (all 4 have
         # oracle_sql entries now)
@@ -2871,6 +2890,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
                    CAST(SUM(doc_id) AS BIGINT) AS id_sum
             FROM kept GROUP BY source ORDER BY source
+        """,
+        "sentences_documents": r"""
+            WITH s AS (
+              SELECT doc_id,
+                     list_filter(
+                       string_split(
+                         regexp_replace(text, '([.!?])\s+',
+                                        '\1' || chr(30), 'g'),
+                         chr(30)),
+                       x -> x <> '') AS sents
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     COALESCE(len(sents), 0) AS n_sentences,
+                     list_aggregate(
+                       list_transform(sents, x -> length(x)), 'sum') AS tot,
+                     list_aggregate(
+                       list_transform(sents, x -> length(x)), 'max') AS mx
+              FROM s)
+            SELECT doc_id,
+                   CAST(n_sentences AS INTEGER) AS n_sentences,
+                   ROUND(CASE WHEN n_sentences > 0
+                              THEN tot * 1.0 / n_sentences END, 6)
+                     AS mean_sentence_chars,
+                   CAST(mx AS INTEGER) AS max_sentence_chars
+            FROM m ORDER BY doc_id
         """,
         "tfidf_documents": f"""
             WITH w AS (

@@ -786,3 +786,37 @@ def top_terms_per_group(
         F.col("_tt_score").alias("tfidf"),
         "rank",
     )
+
+
+def split_sentences(col: Column) -> Column:
+    """Regex sentence split, pure Column: a sentinel (U+001E record
+    separator) is injected after ``.``/``!``/``?`` + whitespace, then
+    the text splits on it — lookbehind-free so the SAME rule runs on
+    RE2-based engines (the DuckDB oracle).  Empty segments are
+    dropped; null text → null.  Deliberately simple (no abbreviation
+    lexicon — "e.g. this" splits); the downstream uses
+    (sentence-boundary chunking via greedy_pack with sentences as
+    units, per-sentence dedup) tolerate over-splitting but not
+    nondeterminism."""
+    sep = "\u001e"
+    marked = F.regexp_replace(col, r"([.!?])\s+", "$1" + sep)
+    return F.filter(F.split(marked, sep), lambda s: s != "")
+
+
+def sentence_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document sentence profile: ``(id, n_sentences,
+    mean_sentence_chars, max_sentence_chars)`` — a quality signal
+    (wall-of-text pages have huge "sentences"; listicles have tiny
+    ones) computed without exploding (aggregate over the array)."""
+    sents = split_sentences(F.col(text_col))
+    n = F.size(sents)
+    total = F.aggregate(
+        F.coalesce(sents, F.array()), F.lit(0), lambda a, s: a + F.length(s)
+    )
+    longest = F.array_max(F.transform(sents, lambda s: F.length(s)))
+    return df.select(
+        F.col(id_col),
+        F.when(n >= 0, n).otherwise(F.lit(0)).alias("n_sentences"),
+        F.when(n > 0, total / n).alias("mean_sentence_chars"),
+        longest.alias("max_sentence_chars"),
+    )

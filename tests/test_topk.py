@@ -175,3 +175,28 @@ def test_top_terms_per_group_tfidf(spark):
     # zero-idf 'shared' can appear only after positive-score terms
     assert by[("s1", 2)][0] in ("shared",)
     assert by[("s1", 2)][2] == 0.0
+
+
+def test_split_sentences_and_stats(spark):
+    from snowy_json_spark.operators.text import sentence_stats, split_sentences
+
+    rows = [
+        (1, "First one. Second here! Third?  Fourth without end"),
+        (2, "single sentence no punctuation"),
+        (3, None),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["s"] for r in df.select(
+        "doc_id", split_sentences(F.col("text")).alias("s")).collect()}
+    assert got[1] == ["First one.", "Second here!", "Third?",
+                      "Fourth without end"]
+    assert got[2] == ["single sentence no punctuation"]
+    assert got[3] is None
+    assert got[4] == []
+    st = {r["doc_id"]: r for r in
+          sentence_stats(df, "doc_id", "text").collect()}
+    assert st[1]["n_sentences"] == 4
+    assert st[1]["max_sentence_chars"] == len("Fourth without end")
+    assert st[2]["n_sentences"] == 1
+    assert st[4]["n_sentences"] == 0 and st[4]["mean_sentence_chars"] is None
