@@ -324,7 +324,11 @@ def band_keys(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str, n_bands: int = 16, rows_per_band: int = 8
+    sigs: DataFrame,
+    id_col: str,
+    n_bands: int = 16,
+    rows_per_band: int = 8,
+    max_bucket_rows: int | None = None,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become candidate pairs.
 
@@ -332,8 +336,29 @@ def lsh_candidate_pairs(
     **self-joins** on (band, bucket) with ``id_a < id_b``.  The join is
     the scale-safe plan: a hot bucket never has to fit in one
     ``collect_list`` buffer, AQE's skew-join splitting applies, and the
-    whole pipeline stays in codegen.  Shuffle volume is rows×bands."""
+    whole pipeline stays in codegen.  Shuffle volume is rows×bands.
+
+    AQE skew-split shares a hot bucket's *work* across tasks but cannot
+    shrink its quadratic candidate *output*: a degenerate corpus
+    (millions of near-empty or templated docs collapsing into one band
+    bucket) still emits |bucket|²/2 pairs.  ``max_bucket_rows`` bounds
+    that: buckets larger than the cap are dropped from candidate
+    generation entirely (same policy as simhash/winnowing/cosine), so
+    recall degrades in a DOCUMENTED way — a pair colliding only in
+    dropped buckets is missed, but with n_bands independent bands the
+    other bands usually recover it — instead of the output exploding.
+    Docs in an over-cap bucket are near-identical by construction, so
+    exact-hash dedup (``exact_duplicates``) upstream is the cheap
+    companion that removes the degenerate mass before LSH runs."""
     exploded = band_keys(sigs, id_col, n_bands, rows_per_band)
+    if max_bucket_rows is not None:
+        keep = (
+            exploded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_rows)
+            .select("band", "bucket")
+        )
+        exploded = exploded.join(keep, ["band", "bucket"])
     a = exploded.select(
         F.col(id_col).alias("id_a"), "band", "bucket"
     )
@@ -378,11 +403,12 @@ def minhash_near_duplicates(
     n_bands: int = 16,
     shingle_k: int = 5,
     mode: str = "char",
+    max_bucket_rows: int | None = None,
 ) -> DataFrame:
     """Full MinHash+LSH pipeline → (id_a, id_b, est_jaccard ≥ threshold)."""
     rows_per_band = n_hashes // n_bands
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k, mode).cache()
-    pairs = lsh_candidate_pairs(sigs, id_col, n_bands, rows_per_band)
+    pairs = lsh_candidate_pairs(sigs, id_col, n_bands, rows_per_band, max_bucket_rows)
     return estimated_jaccard(pairs, sigs, id_col).filter(
         F.col("est_jaccard") >= threshold
     )

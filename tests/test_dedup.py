@@ -409,3 +409,41 @@ def test_fingerprint_candidates_bucket_cap(spark):
         df, "doc_id", "text", max_bucket_rows=3
     ).count()
     assert capped == 0
+
+
+def test_minhash_bucket_cap_bounds_hot_bands(spark):
+    """Pathological skew for the MinHash LSH family: one templated text
+    repeated 80x collapses into a single (band, bucket) per band and
+    would emit ~C(80,2) candidates per band; with max_bucket_rows the
+    hot buckets are pruned, candidate output stays bounded, and a
+    planted near-dup pair of distinct text still surfaces."""
+    from snowy_json_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_near_duplicates,
+        minhash_signatures,
+    )
+
+    boiler = "accept cookies to continue reading this page " * 4
+    rows = [(i, boiler) for i in range(80)]
+    rows += [
+        (100, "the catalyst optimizer rewrites logical plans before execution"),
+        (101, "the catalyst optimizer rewrites logical plans before executions"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(df, "doc_id", "text", n_hashes=32, shingle_k=5)
+    uncapped = lsh_candidate_pairs(sigs, "doc_id", n_bands=8, rows_per_band=4)
+    assert uncapped.count() >= 80 * 79 // 2
+    capped = lsh_candidate_pairs(
+        sigs, "doc_id", n_bands=8, rows_per_band=4, max_bucket_rows=10
+    )
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in got
+    assert not any(a < 100 and b < 100 for a, b in got)
+    # end-to-end: the near-dup pipeline accepts and applies the cap too
+    nd = minhash_near_duplicates(
+        df, "doc_id", "text", threshold=0.8, n_hashes=32, n_bands=8,
+        max_bucket_rows=10,
+    )
+    nd_pairs = {(r["id_a"], r["id_b"]) for r in nd.collect()}
+    assert (100, 101) in nd_pairs
+    assert not any(a < 100 and b < 100 for a, b in nd_pairs)
