@@ -227,5 +227,4 @@ def test_official_suite_volume_and_skips(results):
         "null-member",
         "null member = absent under the engine convention",
         "heterogeneous array is untypeable on a static schema",
-        "percent-decoding of $ref pointer tokens not implemented",
     }, f"unexpected skip reasons: {dict(skips)}"
