@@ -342,11 +342,9 @@ def _idn_context_ok(label: str) -> bool:
     U-label, the analog of ICU's UTS-46 contextual checks
     (net/Hostname.java:87-206). Implemented from unicodedata:
 
-    - A.1 ZWNJ: preceded by Virama (ccc 9), or the join-context regex —
-      approximated as an Arabic/Syriac/NKo/Mandaic letter on both sides
-      with Mn/Me/Cf transparent (full Joining_Type tables live in ICU /
-      the idna package; this fallback over-accepts R-joining letters
-      before ZWNJ)
+    - A.1 ZWNJ: preceded by Virama (ccc 9), or the exact join-context
+      regex (Joining_Type:{L,D})(T)*ZWNJ(T)*(Joining_Type:{R,D}) over
+      the packed Unicode Joining_Type table in joining_types.py
     - A.2 ZWJ: preceded by Virama
     - A.3 middle dot U+00B7: between two U+006C 'l'
     - A.4 Greek keraia U+0375: followed by a Greek-script char
@@ -363,10 +361,7 @@ def _idn_context_ok(label: str) -> bool:
         nm = unicodedata.name(ch, "")
         return any(nm.startswith(w) or (" " + w) in nm for w in words)
 
-    def joining_letter(ch: str) -> bool:
-        return name_has(ch, "ARABIC", "SYRIAC", "NKO", "MANDAIC") and (
-            unicodedata.category(ch).startswith("L")
-        )
+    from snowy_json_spark.functions.joining_types import joining_type
 
     has_arabic_digit = any("٠" <= ch <= "٩" for ch in label)
     has_ext_arabic_digit = any("۰" <= ch <= "۹" for ch in label)
@@ -379,17 +374,19 @@ def _idn_context_ok(label: str) -> bool:
                 continue
             if ch == "‍":
                 return False
-            # ZWNJ join-context approximation: skip transparent marks
-            # outward on both sides, require joining letters
+            # RFC 5892 A.1 exact join-context regex:
+            # (Joining_Type:{L,D}) (T)* ZWNJ (T)* (Joining_Type:{R,D})
             j = i - 1
-            while j >= 0 and unicodedata.category(label[j]) in ("Mn", "Me", "Cf"):
+            while j >= 0 and joining_type(label[j]) == "T":
                 j -= 1
             k = i + 1
-            while k < len(label) and unicodedata.category(label[k]) in ("Mn", "Me", "Cf"):
+            while k < len(label) and joining_type(label[k]) == "T":
                 k += 1
             if j < 0 or k >= len(label):
                 return False
-            if not (joining_letter(label[j]) and joining_letter(label[k])):
+            if joining_type(label[j]) not in ("L", "D"):
+                return False
+            if joining_type(label[k]) not in ("R", "D"):
                 return False
         elif ch == "·":
             if i == 0 or i == len(label) - 1:
@@ -453,10 +450,9 @@ def _is_idn_hostname(v: str) -> bool:
     (net/Hostname.java:87-206). The `idna` package is the Python
     equivalent; without it the fallback enforces the RFC 5891 label
     rules (length, hyphen-34, leading-combining-mark, xn-- punycode
-    roundtrip) plus the RFC 5892 CONTEXTO/CONTEXTJ rules and the RFC
-    5893 Bidi rule on decoded U-labels. The one remaining documented
-    approximation: ZWNJ's join-context regex uses a script heuristic
-    instead of the full Joining_Type table."""
+    roundtrip) plus the RFC 5892 CONTEXTO/CONTEXTJ rules (ZWNJ via the
+    exact Joining_Type table in joining_types.py) and the RFC 5893
+    Bidi rule on decoded U-labels."""
     try:
         import idna  # type: ignore
 

@@ -238,6 +238,14 @@ IDN_HOSTNAME_OFFICIAL = [
     ("ア・イ", True, True),                       # katakana dot with Katakana
     ("א.ב", True, True),                          # pure RTL domain
     ("ab.א", True, True),                              # mixed-direction labels, each valid
+    # A.1 ZWNJ exact Joining_Type regex — cases the pre-round-5
+    # script-name heuristic judged wrong (any Arabic letter on both
+    # sides passed); exact rule: (L|D)(T)*ZWNJ(T)*(R|D)
+    ("ا‌ا", False, True),       # R+ZWNJ+R: alef is right-joining, not L/D
+    ("ا‌ب", False, True),       # R+ZWNJ+D: left side must be L or D
+    ("ب‌ا", True, True),        # D+ZWNJ+R: beh dual-joining, alef right
+    ("بَ‌ب", True, True),        # D + fatha (T, skipped) + ZWNJ + D
+    ("a‌ب", False, True),       # U+ZWNJ+D: Latin is non-joining
 ]
 
 
