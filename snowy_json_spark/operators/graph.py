@@ -9,10 +9,16 @@ classic power iteration as pure DataFrame joins:
     rank_{t+1}(v) = (1 − d) + d · Σ_{(u,v) ∈ E} rank_t(u) / outdeg(u)
 
 (the original unnormalized Google form; ranks sum to N under no
-dangling nodes).  Dangling mass (nodes with no out-edges) is NOT
-redistributed — documented, matching the common engine behavior —
-so totals shrink slightly when sinks exist; comparative use (ranking,
-thresholding) is unaffected.
+dangling nodes).  By default dangling mass (nodes with no out-edges)
+is NOT redistributed — matching the common engine behavior — so
+totals shrink slightly when sinks exist; comparative use (ranking,
+thresholding) is unaffected and the fixed-count iteration stays
+trivially oracle-replayable.  ``redistribute_dangling=True`` enables
+textbook semantics: each iteration adds ``d · dangling_mass / N`` to
+every node, conserving total rank at exactly N.  The extra cost is
+one broadcast-able single-row aggregate per iteration (the dangling
+ranks sum), composed lazily via crossJoin so no per-iteration driver
+sync is introduced.
 
 Scale shape: per iteration ONE join edges⋈ranks on src (both sides
 partitioned on the join key; the edge table's partitioning is reused
@@ -37,11 +43,16 @@ def page_rank(
     n_iter: int = 10,
     damping: float = 0.85,
     checkpoint_every: int = 4,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank; returns ``(node, rank)`` for every
     node appearing as source OR destination.  Duplicate edges count
     once each (pre-``distinct`` the frame for simple-graph semantics).
-    Deterministic given the edge multiset — safe to oracle."""
+    Deterministic given the edge multiset — safe to oracle.
+
+    With ``redistribute_dangling`` the rank held by sink nodes is
+    spread uniformly each iteration (textbook semantics; total rank is
+    conserved at N)."""
     if n_iter < 0:
         raise ValueError(f"n_iter must be >= 0, got {n_iter}")
     if not 0.0 <= damping <= 1.0:
@@ -63,6 +74,15 @@ def page_rank(
     )
     weighted = weighted.persist()
     nodes = nodes.persist()
+    dangling = None
+    n_nodes = None
+    if redistribute_dangling:
+        # sink set: nodes with no out-edges — their rank would
+        # otherwise leak out of the total each iteration
+        dangling = nodes.join(
+            deg, nodes["node"] == deg["_src"], "left_anti"
+        ).persist()
+        n_nodes = nodes.count()
     try:
         ranks = nodes.select("node", F.lit(1.0).alias("rank"))
         for i in range(n_iter):
@@ -75,13 +95,31 @@ def page_rank(
                 .groupBy("node")
                 .agg(F.sum("_c").alias("_in"))
             )
-            ranks = nodes.join(contribs, "node", "left").select(
-                "node",
-                (
-                    F.lit(1.0 - damping)
-                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
-                ).alias("rank"),
-            )
+            base = nodes.join(contribs, "node", "left")
+            if redistribute_dangling:
+                # single-row aggregate, crossJoined (broadcast nested
+                # loop over 1 row) — stays lazy, no driver sync
+                dm = (
+                    ranks.join(dangling, "node")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+                )
+                share = F.col("_dm") / F.lit(float(n_nodes))
+                ranks = base.crossJoin(dm).select(
+                    "node",
+                    (
+                        F.lit(1.0 - damping)
+                        + F.lit(damping)
+                        * (F.coalesce(F.col("_in"), F.lit(0.0)) + share)
+                    ).alias("rank"),
+                )
+            else:
+                ranks = base.select(
+                    "node",
+                    (
+                        F.lit(1.0 - damping)
+                        + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+                    ).alias("rank"),
+                )
             if checkpoint_every and (i + 1) % checkpoint_every == 0:
                 ranks = ranks.localCheckpoint(eager=True)
         # materialize BEFORE releasing the caches: the returned frame
@@ -91,6 +129,8 @@ def page_rank(
     finally:
         weighted.unpersist()
         nodes.unpersist()
+        if dangling is not None:
+            dangling.unpersist()
 
 
 def host_rank(

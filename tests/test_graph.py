@@ -97,3 +97,45 @@ def test_extract_links_quote_and_tag_precision(spark):
                                "url string, html binary")
     got = [r["link"] for r in extract_links(df).orderBy("link_pos").collect()]
     assert got == ["https://c.ex/canon", "https://ex.com/o'brien"]
+
+
+def test_pagerank_dangling_redistribution_conserves_mass(spark):
+    """With redistribute_dangling, total rank is conserved at exactly N
+    even when sinks exist (textbook semantics); the default path keeps
+    the documented mass-shrinking form and ordering agrees with the
+    redistributed one on this graph."""
+    from pyspark.sql import functions as F
+
+    from snowy_json_spark.operators.graph import page_rank
+
+    # node 4 is a pure sink; 1->2->3->1 cycle feeds it
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 4), (2, 4)], "src long, dst long"
+    )
+    n = 4
+    redis = page_rank(edges, n_iter=12, redistribute_dangling=True)
+    total = redis.agg(F.sum("rank")).first()[0]
+    assert abs(total - n) < 1e-9, f"rank mass not conserved: {total}"
+    plain = page_rank(edges, n_iter=12)
+    total_plain = plain.agg(F.sum("rank")).first()[0]
+    assert total_plain < n  # dangling mass leaks by design
+    order_r = [r["node"] for r in redis.orderBy(F.desc("rank"), "node").collect()]
+    order_p = [r["node"] for r in plain.orderBy(F.desc("rank"), "node").collect()]
+    assert order_r == order_p
+
+
+def test_pagerank_redistribution_no_sinks_matches_default(spark):
+    """On a sink-free graph the two forms are identical."""
+    from snowy_json_spark.operators.graph import page_rank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    a = {r["node"]: r["rank"] for r in page_rank(edges, n_iter=8).collect()}
+    b = {
+        r["node"]: r["rank"]
+        for r in page_rank(edges, n_iter=8, redistribute_dangling=True).collect()
+    }
+    assert a.keys() == b.keys()
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-12
