@@ -1188,7 +1188,9 @@ def _q_boilerplate_documents(spark, sf_dir):
             F.lit("copyright example corp"),
         ).alias("text"),
     )
-    cleaned = remove_boilerplate_lines(injected, "text", min_doc_frequency=3)
+    cleaned = remove_boilerplate_lines(
+        injected, "text", min_doc_frequency=3, id_col="doc_id"
+    )
     return (
         cleaned.groupBy("source")
         .agg(

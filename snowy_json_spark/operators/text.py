@@ -304,6 +304,16 @@ def remove_boilerplate_lines(
     if id_col is not None:
         with_id = df.withColumn("_rbid", F.col(id_col))
     else:
+        import warnings
+
+        warnings.warn(
+            "remove_boilerplate_lines: no id_col given — keying documents "
+            "with monotonically_increasing_id and localCheckpoint-ing the "
+            "input (materializes it once on executor storage). Fine at "
+            "test scale; at corpus scale pass id_col (url, doc_id) so the "
+            "two consumers join on a stable key with no materialization.",
+            stacklevel=2,
+        )
         with_id = df.withColumn(
             "_rbid", F.monotonically_increasing_id()
         ).localCheckpoint(eager=False)

@@ -130,3 +130,17 @@ def test_remove_boilerplate_preserves_null_text(spark):
            remove_boilerplate_lines(df, "text", min_doc_frequency=3).collect()}
     assert out[0] == ""      # emptied: every line was frequent
     assert out[3] is None    # NULL stays NULL, not ''
+
+
+def test_mono_id_fallback_warns_and_id_col_is_silent(spark):
+    """Without id_col the operator warns (mono-id + localCheckpoint
+    fallback — materializes the input; corpus-scale callers should key
+    on a real column); with id_col no warning is emitted."""
+    import warnings
+
+    df = _df(spark)
+    with pytest.warns(UserWarning, match="id_col"):
+        remove_boilerplate_lines(df, "text", min_doc_frequency=3)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        remove_boilerplate_lines(df, "text", min_doc_frequency=3, id_col="doc_id")
