@@ -41,6 +41,10 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                     help="comma-separated blocked domain suffixes")
     ap.add_argument("--min-words", type=int, default=None)
     ap.add_argument("--min-jaccard", type=float, default=0.8)
+    ap.add_argument("--dedup-impl", default="exact",
+                    choices=["exact", "minhash"],
+                    help="dedup stage plan: exact Jaccard (verification "
+                         "scale) or banded MinHash+LSH (corpus scale)")
     ap.add_argument("--sample-fraction", type=float, default=1.0)
     ap.add_argument("--sample-seed", default="curate")
     ap.add_argument("--n-shards", type=int, default=64)
@@ -65,6 +69,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         min_jaccard=args.min_jaccard,
         url_col=args.id_col if blocked else None,
         blocked_domains=blocked or None,
+        dedup_impl=args.dedup_impl,
         **bounds,
     )
     if args.sample_fraction < 1.0:

@@ -23,7 +23,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import dedup_representatives, near_dup_clusters
+from .dedup import (
+    connected_components,
+    dedup_representatives,
+    minhash_near_duplicates,
+    near_dup_clusters,
+)
 from .text import gopher_flags, repetition_flags
 
 
@@ -37,6 +42,10 @@ def curate_documents(
     check_repetition: bool = False,
     url_col: str | None = None,
     blocked_domains: list[str] | None = None,
+    dedup_impl: str = "exact",
+    n_hashes: int = 128,
+    n_bands: int = 16,
+    max_bucket_rows: int | None = 1000,
     **gopher_bounds,
 ) -> DataFrame:
     """Input columns + ``keep`` boolean + ``drop_reason``
@@ -50,7 +59,14 @@ def curate_documents(
     member is dropped with reason 'near_dup'.  Documents failing any
     Gopher rule (plus, with ``check_repetition``, the dup-line /
     top-bigram repetition rules) drop with reason 'quality' and never
-    enter dedup."""
+    enter dedup.
+
+    ``dedup_impl`` selects the dedup stage's plan: ``'exact'``
+    (default — full-corpus exact Jaccard, verification scale) or
+    ``'minhash'`` — banded MinHash+LSH with the ``max_bucket_rows``
+    hot-bucket cap, the corpus-scale path (candidate output bounded,
+    shuffle ∝ rows×bands); estimated-Jaccard thresholding replaces the
+    exact verifier, so borderline pairs can differ between impls."""
     if blocked_domains is not None and url_col is None:
         raise ValueError("blocked_domains requires url_col")
     if blocked_domains is not None:
@@ -62,16 +78,34 @@ def curate_documents(
     quality_ok = gopher_flags(F.col(text_col), **gopher_bounds)["keep"]
     if check_repetition:
         quality_ok = quality_ok & repetition_flags(F.col(text_col))["keep"]
+    if dedup_impl not in ("exact", "minhash"):
+        raise ValueError(f"dedup_impl must be 'exact' or 'minhash', got {dedup_impl!r}")
     flagged = df.withColumns({"_u_ok": url_ok, "_q_ok": quality_ok})
     survivors = flagged.filter(F.col("_u_ok") & F.col("_q_ok"))
-    clusters = near_dup_clusters(
-        survivors,
-        id_col,
-        text_col,
-        min_jaccard=min_jaccard,
-        shingle_k=shingle_k,
-        mode=dedup_mode,
-    )
+    if dedup_impl == "minhash":
+        pairs = minhash_near_duplicates(
+            survivors.filter(F.col(text_col).isNotNull()),
+            id_col,
+            text_col,
+            threshold=min_jaccard,
+            n_hashes=n_hashes,
+            n_bands=n_bands,
+            shingle_k=shingle_k,
+            mode=dedup_mode,
+            max_bucket_rows=max_bucket_rows,
+        )
+        clusters = connected_components(pairs).select(
+            F.col("node").alias(id_col), "cluster"
+        )
+    else:
+        clusters = near_dup_clusters(
+            survivors,
+            id_col,
+            text_col,
+            min_jaccard=min_jaccard,
+            shingle_k=shingle_k,
+            mode=dedup_mode,
+        )
     reps = dedup_representatives(
         clusters.select(F.col(id_col).alias("node"), "cluster")
     )

@@ -98,3 +98,52 @@ def test_blocked_docs_never_reach_dedup(spark):
     got = {r["doc_id"]: (r["keep"], r["drop_reason"]) for r in cur.collect()}
     assert got[0] == (True, None)
     assert got[1] == (False, "blocked_url")
+
+
+def test_minhash_dedup_impl_matches_exact_on_clear_corpus(spark):
+    """dedup_impl='minhash' (the corpus-scale LSH path) agrees with the
+    exact path away from the threshold boundary: exact/near dups drop
+    as near_dup, distinct docs keep, quality attribution unchanged."""
+    rows = [
+        (0, GOOD),
+        (1, GOOD),                              # exact dup of 0
+        (2, GOOD + " extra tail"),              # near-dup of 0
+        (3, "too short"),                       # quality
+        (5, "the unique and special words of this have other text " * 4),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        r["doc_id"]: (r["keep"], r["drop_reason"])
+        for r in curate_documents(
+            df, "doc_id", "text", min_jaccard=0.8, min_words=20
+        ).collect()
+    }
+    lsh = {
+        r["doc_id"]: (r["keep"], r["drop_reason"])
+        for r in curate_documents(
+            df, "doc_id", "text", min_jaccard=0.8, min_words=20,
+            dedup_impl="minhash", shingle_k=5, dedup_mode="char",
+        ).collect()
+    }
+    assert lsh == exact
+    assert lsh[1] == (False, "near_dup")
+    assert lsh[2] == (False, "near_dup")
+    assert lsh[0] == (True, None)
+
+
+def test_minhash_dedup_impl_null_text_and_bad_impl(spark):
+    import pytest as _pytest
+
+    rows = [(0, GOOD), (1, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["drop_reason"]
+        for r in curate_documents(
+            df, "doc_id", "text", min_words=20, dedup_impl="minhash",
+            shingle_k=5, dedup_mode="char",
+        ).collect()
+    }
+    assert got[0] is None
+    assert got[1] == "quality"  # null text fails gopher keep=false
+    with _pytest.raises(ValueError, match="dedup_impl"):
+        curate_documents(df, "doc_id", "text", dedup_impl="bogus")
