@@ -117,10 +117,17 @@ def run_dedup():
     # each doc's unique md5 token and discriminate properly.  Same-
     # template docs (same repeated filler word, long tails) still
     # legitimately cluster -- the bucket cap bounds those hot buckets.
+    # banding 4x8 (S-curve knee ~0.84, right for threshold 0.8) with a
+    # 32-component signature: dedup-stage shuffle is LINEAR in rows
+    # (the estimated-Jaccard join moves each doc's signature array a
+    # few times), so signature width is the dominant byte term -- the
+    # 64-hash first cut filled the sandbox disk at 10M rows.  Planted
+    # J=1.0 dups collide in every band regardless; the bucket cap
+    # bounds the same-template hot buckets.
     pairs = minhash_near_duplicates(
         s2.filter(F.col("text").isNotNull()).select("url", "text"),
-        "url", "text", threshold=0.8, n_hashes=64, n_bands=8,
-        shingle_k=5, mode="char", max_bucket_rows=500,
+        "url", "text", threshold=0.8, n_hashes=32, n_bands=4,
+        shingle_k=5, mode="char", max_bucket_rows=200,
     )
     labels = connected_components(pairs)  # eager (localCheckpoint loop)
     reps = dedup_representatives(labels)
@@ -184,10 +191,16 @@ def main() -> None:
         subprocess.run([sys.executable, "-c", code], check=True, cwd=REPO)
 
     out_dir = os.path.join(tempfile.gettempdir(), "curation_shards")
-    proc = subprocess.run(
-        [sys.executable, "-c", WORKER, str(args.cores), path, out_dir],
-        capture_output=True, text=True, check=True, cwd=REPO,
-    )
+    stderr_log = os.path.join(tempfile.gettempdir(), "bench_curation_worker.log")
+    with open(stderr_log, "w") as errf:
+        proc = subprocess.run(
+            [sys.executable, "-c", WORKER, str(args.cores), path, out_dir],
+            stdout=subprocess.PIPE, stderr=errf, text=True, cwd=REPO,
+        )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"worker failed rc={proc.returncode}; full stderr: {stderr_log}"
+        )
     res = None
     for line in proc.stdout.splitlines():
         if line.startswith("RESULT "):
