@@ -206,7 +206,7 @@ def main() -> None:
         if line.startswith("RESULT "):
             res = json.loads(line[len("RESULT "):])
     if res is None:
-        raise RuntimeError(f"no RESULT; stderr tail: {proc.stderr[-3000:]}")
+        raise RuntimeError(f"no RESULT line; full stderr: {stderr_log}")
 
     total = sum(s["wall_sec"] for s in res["stages"])
     summary = {

@@ -16,9 +16,11 @@ thresholding) is unaffected and the fixed-count iteration stays
 trivially oracle-replayable.  ``redistribute_dangling=True`` enables
 textbook semantics: each iteration adds ``d · dangling_mass / N`` to
 every node, conserving total rank at exactly N.  The extra cost is
-one broadcast-able single-row aggregate per iteration (the dangling
-ranks sum), composed lazily via crossJoin so no per-iteration driver
-sync is introduced.
+one single-row aggregate per iteration (the dangling ranks sum,
+crossJoined back — a 1-row broadcast nested loop) plus a per-iteration
+localCheckpoint: the new plan reads the previous ranks twice
+(contributions AND dangling sum), so lineage must be truncated every
+round to stay linear rather than doubling.
 
 Scale shape: per iteration ONE join edges⋈ranks on src (both sides
 partitioned on the join key; the edge table's partitioning is reused
@@ -112,6 +114,11 @@ def page_rank(
                         * (F.coalesce(F.col("_in"), F.lit(0.0)) + share)
                     ).alias("rank"),
                 )
+                # the new plan references the previous ranks TWICE
+                # (contribs + dm), so lineage would double per
+                # iteration; truncate every round to keep it linear
+                ranks = ranks.localCheckpoint(eager=True)
+                continue
             else:
                 ranks = base.select(
                     "node",

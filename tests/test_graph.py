@@ -139,3 +139,22 @@ def test_pagerank_redistribution_no_sinks_matches_default(spark):
     assert a.keys() == b.keys()
     for k in a:
         assert abs(a[k] - b[k]) < 1e-12
+
+
+def test_pagerank_redistribution_lineage_stays_linear(spark):
+    """Regression (round-5 review): the redistribution path reads the
+    previous ranks twice per iteration, which doubled the logical plan
+    between checkpoints — with checkpoint_every=0 the plan grew 2^n.
+    The per-iteration truncation keeps many iterations cheap."""
+    from pyspark.sql import functions as F
+
+    from snowy_json_spark.operators.graph import page_rank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (2, 4)], "src long, dst long"
+    )
+    out = page_rank(
+        edges, n_iter=18, checkpoint_every=0, redistribute_dangling=True
+    )
+    total = out.agg(F.sum("rank")).first()[0]
+    assert abs(total - 4) < 1e-9
