@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType
 
 from .ecma_regex import is_valid_ecma
+from .joining_types import joining_type
 
 # --------------------------------------------------------------------------
 # RFC 3339 component regexes (mirroring Format.java:54-90 semantics)
@@ -360,8 +361,6 @@ def _idn_context_ok(label: str) -> bool:
     def name_has(ch: str, *words: str) -> bool:
         nm = unicodedata.name(ch, "")
         return any(nm.startswith(w) or (" " + w) in nm for w in words)
-
-    from snowy_json_spark.functions.joining_types import joining_type
 
     has_arabic_digit = any("٠" <= ch <= "٩" for ch in label)
     has_ext_arabic_digit = any("۰" <= ch <= "۹" for ch in label)

@@ -119,14 +119,13 @@ def page_rank(
                 # iteration; truncate every round to keep it linear
                 ranks = ranks.localCheckpoint(eager=True)
                 continue
-            else:
-                ranks = base.select(
-                    "node",
-                    (
-                        F.lit(1.0 - damping)
-                        + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
-                    ).alias("rank"),
-                )
+            ranks = base.select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("rank"),
+            )
             if checkpoint_every and (i + 1) % checkpoint_every == 0:
                 ranks = ranks.localCheckpoint(eager=True)
         # materialize BEFORE releasing the caches: the returned frame

@@ -69,6 +69,8 @@ def curate_documents(
     exact verifier, so borderline pairs can differ between impls."""
     if blocked_domains is not None and url_col is None:
         raise ValueError("blocked_domains requires url_col")
+    if dedup_impl not in ("exact", "minhash"):
+        raise ValueError(f"dedup_impl must be 'exact' or 'minhash', got {dedup_impl!r}")
     if blocked_domains is not None:
         from .urls import blocked_domain_match
 
@@ -78,8 +80,6 @@ def curate_documents(
     quality_ok = gopher_flags(F.col(text_col), **gopher_bounds)["keep"]
     if check_repetition:
         quality_ok = quality_ok & repetition_flags(F.col(text_col))["keep"]
-    if dedup_impl not in ("exact", "minhash"):
-        raise ValueError(f"dedup_impl must be 'exact' or 'minhash', got {dedup_impl!r}")
     flagged = df.withColumns({"_u_ok": url_ok, "_q_ok": quality_ok})
     survivors = flagged.filter(F.col("_u_ok") & F.col("_q_ok"))
     if dedup_impl == "minhash":

@@ -30,7 +30,11 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
-QUERY_NAMES = list(entry.queries())
+# built once at module scope — queries()/oracle_sql() rebuild their
+# full 76-entry dicts on every call
+QUERIES = entry.queries()
+ORACLES = entry.oracle_sql()
+QUERY_NAMES = list(QUERIES)
 
 
 def canon(df: pd.DataFrame) -> str:
@@ -56,20 +60,19 @@ def duck():
 )
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(name, spark, duck):
-    got = entry.queries()[name](spark, SF_DIR).toPandas()
-    oracles = entry.oracle_sql()
+    got = QUERIES[name](spark, SF_DIR).toPandas()
     # every registered query carries an oracle (the README's "76
     # queries, 76 oracles" 1:1 invariant) — a genuinely
     # non-SQL-expressible op must be added to this allowlist
     # explicitly, not slip through as an unchecked green
     ROWS_ONLY_OK: set[str] = set()
-    if name not in oracles:
+    if name not in ORACLES:
         assert name in ROWS_ONLY_OK, (
             f"{name} has no oracle_sql entry and is not in the "
             "documented rows-only allowlist"
         )
         return
-    want = duck.execute(oracles[name]).df()
+    want = duck.execute(ORACLES[name]).df()
     assert sorted(got.columns) == sorted(want.columns), (
         f"{name}: column mismatch {sorted(got.columns)} vs "
         f"{sorted(want.columns)}"
