@@ -89,3 +89,33 @@ def test_query_matches_oracle(name, spark, duck):
                     f"  spark:  {lg}\n  oracle: {lw}"
                 )
         pytest.fail(f"{name}: value-hash mismatch (length)")
+
+
+def test_driver_window_covers_operator_families():
+    """The driver's correctness harness checks only the first 50
+    registered queries; pin that the high-value operator families stay
+    inside that window (round-4 VERDICT: the whole round-4 wave once
+    sat beyond it and went driver-unchecked)."""
+    window = QUERY_NAMES[:50]
+    must_be_checked = {
+        # validation engine core
+        "row_validation_documents", "partition_verdicts_documents",
+        "column_stats_documents", "duplicate_keys_documents",
+        "schema_contract_documents", "tdigest_events",
+        # dedup families
+        "minhash_near_dups_documents", "simhash_near_dups_documents",
+        "winnowing_pairs_documents", "dedup_clusters_documents",
+        "paragraph_dedup_documents", "incremental_dedup_documents",
+        # ANN paths
+        "ann_topk_embeddings", "knn_join_embeddings",
+        "lsh_topk_embeddings", "ivf_topk_embeddings",
+        # pipeline operators
+        "warc_roundtrip_documents", "lm_perplexity_documents",
+        "dsir_documents", "greedy_pack_documents", "pagerank_documents",
+        "tfidf_documents", "curation_documents", "host_stats_documents",
+        "gopher_quality_documents", "contamination_documents",
+    }
+    missing = must_be_checked - set(window)
+    assert not missing, f"outside the driver-checked window: {sorted(missing)}"
+    assert len(QUERY_NAMES) == len(set(QUERY_NAMES))
+    assert set(QUERY_NAMES) >= set(ORACLES), "oracle without a query"
