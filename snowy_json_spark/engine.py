@@ -248,7 +248,6 @@ class ValidationEngine:
                 hspec = HistogramSpec(
                     chk["column"], chk["lo"], chk["hi"], chk.get("buckets", 20)
                 )
-                cur = collect_histogram(src, hspec, chk.get("group_by"))
                 snap = (snapshot or {}).get(chk.get("id"))
                 th = DriftThresholds(
                     psi_warn=chk.get("psi_warn", 0.1),
@@ -258,13 +257,19 @@ class ValidationEngine:
                 if snap is None:
                     # no baseline entry → explicit status, never a
                     # self-compare 'pass' (round-3 ADVICE, applied to
-                    # every drift kind)
+                    # every drift kind).  The current histogram is NOT
+                    # computed: collect_histogram is an eager full-scan
+                    # aggregation whose result would be discarded here
+                    # (r06 — this was a wasted job per drift check on
+                    # every snapshot-less run; guide §1.2 "don't compute
+                    # things you throw away")
                     drift_out.append(
                         {"group": None, "psi": None, "ks": None,
                          "status": "missing_snapshot",
                          "check_id": chk.get("id")}
                     )
                 else:
+                    cur = collect_histogram(src, hspec, chk.get("group_by"))
                     for v in drift_verdicts(cur, snap, th):
                         v["check_id"] = chk.get("id")
                         drift_out.append(v)
@@ -292,18 +297,23 @@ class ValidationEngine:
 
                 expr = chk.get("expr")
                 src = df.withColumn(chk["column"], F.expr(expr)) if expr else df
-                cur = _digest_dict(
-                    tdigest_sketch(src, chk["column"], chk.get("delta", 200.0)).first()
-                )
                 snap = (snapshot or {}).get(chk.get("id"))
                 ks_fail = chk.get("ks_fail", 0.2)
                 if snap is None:
                     # a typo'd check id or an absent baseline must NOT
                     # self-compare into a silent KS=0 'pass' (round-3
-                    # ADVICE): report the missing baseline explicitly
+                    # ADVICE): report the missing baseline explicitly.
+                    # The current sketch is not computed — it is an eager
+                    # full-scan job whose output would be discarded (r06)
                     v = {"group": None, "psi": None, "ks": None,
                          "status": "missing_snapshot"}
-                elif cur["n"] == 0 or snap["n"] == 0:
+                    v["check_id"] = chk.get("id")
+                    drift_out.append(v)
+                    continue
+                cur = _digest_dict(
+                    tdigest_sketch(src, chk["column"], chk.get("delta", 200.0)).first()
+                )
+                if cur["n"] == 0 or snap["n"] == 0:
                     v = {"group": None, "psi": None, "ks": None,
                          "status": "missing_current" if cur["n"] == 0 else "missing_snapshot"}
                 else:
