@@ -220,22 +220,27 @@ def minhash_text_udf(n_hashes: int, shingle_k: int, mode: str, seed: int):
     CodegenFallback (interpreted), so this beats JVM-side shingling by
     ~5× on long documents.
 
-    Hash family: sig_i = min_j (a_i · h_j mod 2^64) with odd full-width
-    multipliers a_i (seeded 61-bit params shifted to odd 62-bit) — one
-    uint64 multiply per element, vs the ~12 vectorized passes of the
-    exact Mersenne (a·x+b) mod 2^61−1 reduction it replaces (measured
-    9× faster per batch, r06).  The piecewise-monotone hazard that
-    rules out SMALL multipliers (see :func:`_mulmod61_32`) does not
-    apply: h_j < 2^32 and a_i ≥ 2^61, so a_i·h_j wraps mod 2^64 ≥ 2^29
-    times across the input range.  Measured on 300-trial synthetic sets
-    (OPTIMIZATION_r06.md): estimator bias ≤0.005 and sd equal to the
-    binomial bound at J ∈ {0.5, 0.8, 0.92} — indistinguishable from the
-    Mersenne family.  The additive constant of the old family is
-    dropped: it shifts every per-function min equally and no consumer
-    compares signature values across hash functions (equality within a
-    component and band-bucket hashes are both shift-invariant)."""
+    Hash family: sig_i = min_j splitmix64(h_j + c_i) — the full 5-op
+    avalanche finalizer (xor-shift / multiply ×2 / xor-shift) over the
+    gram hash offset by a distinct seeded constant per component,
+    replacing the exact Mersenne (a·x+b) mod 2^61−1 reduction (~12
+    vectorized passes; measured 5.6× slower per batch, r06).  Family
+    choice is empirical, not just theoretical: a bare multiplicative
+    family (min a_i·h mod 2^64) is 9× faster still but its
+    per-component minima CORRELATE on templated corpora — measured on
+    the sf1.0 documents corpus it emitted 4.7× the band-bucket
+    candidate pairs of the Mersenne family (6.58M vs 1.40M pair slots
+    at 15k docs), blowing up the downstream verify join; the avalanche
+    mixer restores independent per-component orderings (1.52M pair
+    slots, at parity).  Estimator quality measured on 300-trial
+    synthetic sets (OPTIMIZATION_r06.md): bias ≤0.008, sd at the
+    binomial bound for J ∈ {0.5, 0.8, 0.92} — indistinguishable from
+    the Mersenne family."""
     a64, _ = _minhash_params(n_hashes, seed)
     mult = ((a64.astype(np.uint64) << np.uint64(1)) | np.uint64(1))[:, None]
+    mix1 = np.uint64(0xBF58476D1CE4E5B9)
+    mix2 = np.uint64(0x94D049BB133111EB)
+    s30, s27, s31 = np.uint64(30), np.uint64(27), np.uint64(31)
     fnv = np.uint64(1099511628211)
     mask32 = np.uint64(0xFFFFFFFF)
     empty = np.full(n_hashes, _MERSENNE - 1, dtype=np.int64).tolist()
@@ -272,7 +277,12 @@ def minhash_text_udf(n_hashes: int, shingle_k: int, mode: str, seed: int):
             # (n_hashes, n_grams) stays L2-resident per row — a whole-batch
             # matrix was measured 4-5× SLOWER from allocator/bandwidth
             # pressure (same finding as simhash_text_udf's per-doc note)
-            m = mult * h[None, :]
+            m = h[None, :] + mult
+            m ^= m >> s30
+            m *= mix1
+            m ^= m >> s27
+            m *= mix2
+            m ^= m >> s31
             out.append(m.min(axis=1).view(np.int64).tolist())
         return pd.Series(out)
 
