@@ -113,10 +113,27 @@ class ValidationEngine:
         self.id_cols = id_cols or ["url"]
         self.partition_cols = partition_cols or []
         self.table_checks = spec.get("x-table-checks", [])
+        self._compile_cache: dict = {}
 
     # ------------------------------------------------------------------
     def compile(self, df: DataFrame) -> Compiled:
-        return compile_spec(self.spec, df.schema, self.options)
+        """Compiled plan for ``df``'s schema, memoized per (session,
+        schema).
+
+        Compilation is driver-side Column-tree construction — ~0.14 s of
+        py4j round trips for the flagship spec (r06 measurement), paid on
+        EVERY run.  The spec and options are fixed per engine and the
+        compiled Columns are unresolved expression trees reusable across
+        any DataFrame with the same schema, so re-runs (resume batches,
+        repeated validations, benches) hit the cache.  Keyed by session
+        too, so an engine outliving a stopped session recompiles instead
+        of replaying stale JVM handles."""
+        key = (df.sparkSession, df.schema.json())
+        plan = self._compile_cache.get(key)
+        if plan is None:
+            plan = compile_spec(self.spec, df.schema, self.options)
+            self._compile_cache[key] = plan
+        return plan
 
     # ------------------------------------------------------------------
     def annotations(self, df: DataFrame) -> DataFrame:
@@ -454,44 +471,57 @@ class ValidationEngine:
         if empty is not None:
             return empty
         plan = self.compile(df)
-        valid = F.coalesce(plan.valid, F.lit(False))
 
-        # every table check re-runs against the narrow flagged table, so
-        # each check's input column must be in the projection (deduped by
-        # name — a column may serve several roles)
-        extra: dict = {}
-        drift_exprs: dict = {}
-        for chk in self.table_checks:
-            kind = chk.get("kind")
-            if kind in ("drift", "quantile_drift", "tdigest_drift"):
-                expr = chk.get("expr")
-                if expr:
-                    drift_exprs[chk["column"]] = F.expr(expr).alias(chk["column"])
-                elif chk["column"] in df.columns:
+        # the flagged projection is pure driver-side Column construction
+        # (another ~0.2 s of py4j round trips for the flagship spec, r06)
+        # and depends only on (session, schema) — memoized like compile()
+        proj_key = ("single_pass_proj", df.sparkSession, df.schema.json())
+        cached_proj = self._compile_cache.get(proj_key)
+        if cached_proj is None:
+            valid = F.coalesce(plan.valid, F.lit(False))
+
+            # every table check re-runs against the narrow flagged table, so
+            # each check's input column must be in the projection (deduped by
+            # name — a column may serve several roles)
+            extra: dict = {}
+            drift_exprs: dict = {}
+            for chk in self.table_checks:
+                kind = chk.get("kind")
+                if kind in ("drift", "quantile_drift", "tdigest_drift"):
+                    expr = chk.get("expr")
+                    if expr:
+                        drift_exprs[chk["column"]] = F.expr(expr).alias(chk["column"])
+                    elif chk["column"] in df.columns:
+                        extra[chk["column"]] = F.col(chk["column"])
+                elif kind == "referential":
                     extra[chk["column"]] = F.col(chk["column"])
-            elif kind == "referential":
-                extra[chk["column"]] = F.col(chk["column"])
-            elif kind == "unique":
-                for k in chk["keys"]:
-                    extra[k] = F.col(k)
-            elif kind == "column_stats":
-                extra[chk["column"]] = F.col(chk["column"])
+                elif kind == "unique":
+                    for k in chk["keys"]:
+                        extra[k] = F.col(k)
+                elif kind == "column_stats":
+                    extra[chk["column"]] = F.col(chk["column"])
 
-        names = list(dict.fromkeys(self.partition_cols + self.id_cols))
-        projection = [F.col(c) for c in names]
-        for name, col in extra.items():
-            if name not in names:
+            names = list(dict.fromkeys(self.partition_cols + self.id_cols))
+            projection = [F.col(c) for c in names]
+            for name, col in extra.items():
+                if name not in names:
+                    names.append(name)
+                    projection.append(col)
+            for name, col in drift_exprs.items():
+                if name in names:
+                    raise SpecError(
+                        f"drift expr output {name!r} collides with a projected "
+                        "column; rename the drift check's column"
+                    )
                 names.append(name)
                 projection.append(col)
-        for name, col in drift_exprs.items():
-            if name in names:
-                raise SpecError(
-                    f"drift expr output {name!r} collides with a projected "
-                    "column; rename the drift check's column"
-                )
-            names.append(name)
-            projection.append(col)
-        projection += [valid.alias("passed"), checks_array(plan).alias("violations")]
+            projection += [
+                valid.alias("passed"),
+                checks_array(plan).alias("violations"),
+            ]
+            cached_proj = projection
+            self._compile_cache[proj_key] = cached_proj
+        projection = cached_proj
 
         flagged_path = f"{out_dir}/flagged"
         write_table(df.select(*projection), flagged_path)

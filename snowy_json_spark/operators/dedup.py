@@ -399,6 +399,23 @@ def lsh_candidate_pairs(
     )
 
 
+def _sig_eq_count(sig_a: Column, sig_b: Column) -> Column:
+    """Count of equal components between two signature arrays.
+
+    ``aggregate(zip_with(a, b, eq), 0, +)`` — one array allocation and
+    one interpreted pass.  r06 measurement over 16.4M candidate pairs
+    (sf1.0): 3.81 s vs 4.67 s for the previous
+    ``size(filter(zip_with(...)))`` (two array allocations, two passes);
+    an unrolled 64-term GetArrayItem sum was 36 s (falls out of
+    whole-stage codegen), and position-tagged ``array_intersect`` 4.1 s.
+    Same integer result in all variants."""
+    return F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
 def estimated_jaccard(
     pairs: DataFrame, sigs: DataFrame, id_col: str
 ) -> DataFrame:
@@ -407,12 +424,7 @@ def estimated_jaccard(
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("sig_a"))
     b = sigs.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("sig_b"))
     j = pairs.join(a, "id_a").join(b, "id_b")
-    eq = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
-            lambda v: v == 1,
-        )
-    )
+    eq = _sig_eq_count(F.col("sig_a"), F.col("sig_b"))
     return j.select(
         "id_a",
         "id_b",
@@ -936,12 +948,7 @@ def probe_index(
     )
     a = new_sigs.select(F.col(id_col).alias("new_id"), F.col("minhash").alias("sig_a"))
     b = index_sigs.select(F.col(id_col).alias("old_id"), F.col("minhash").alias("sig_b"))
-    eq = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
-            lambda v: v == 1,
-        )
-    )
+    eq = _sig_eq_count(F.col("sig_a"), F.col("sig_b"))
     return (
         cands.join(F.broadcast(a) if broadcast_new else a, "new_id")
         .join(b, "old_id")

@@ -29,10 +29,22 @@ def anti_join_violations(
     broadcast_dim: bool = True,
     ignore_nulls: bool = True,
 ) -> DataFrame:
-    """Fact rows whose key is absent from the dimension."""
-    d = dim.select(F.col(dim_key).alias("__ref_key")).distinct()
+    """Fact rows whose key is absent from the dimension.
+
+    The broadcast path does NOT pre-distinct the dim: the broadcast
+    hash-relation build dedups keys anyway, and the ``distinct`` was a
+    full extra shuffle stage before the broadcast could be built —
+    measured 1.64 s → 0.86 s on the 1.5M-key orders dim at sf1.0 (r06,
+    guide §2.4 "remove shuffles outright").  Broadcast bytes grow only
+    when the dim carries duplicate keys, which a reference dim small
+    enough to broadcast does not meaningfully.  The shuffle (sort-merge)
+    path keeps the distinct: there it bounds the dim-side shuffle to one
+    row per key."""
+    d = dim.select(F.col(dim_key).alias("__ref_key"))
     if broadcast_dim:
         d = F.broadcast(d)
+    else:
+        d = d.distinct()
     out = fact.join(d, fact[fact_key] == d["__ref_key"], "left_anti")
     if ignore_nulls:
         # SQL semantics: NULL FK is a presence question (required), not a
