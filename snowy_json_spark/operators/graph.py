@@ -54,7 +54,22 @@ def page_rank(
 
     With ``redistribute_dangling`` the rank held by sink nodes is
     spread uniformly each iteration (textbook semantics; total rank is
-    conserved at N)."""
+    conserved at N).  In that mode ``checkpoint_every`` is OVERRIDDEN:
+    each iteration's plan reads the previous ranks twice (contributions
+    + dangling mass), so lineage would double per round without a
+    per-iteration ``localCheckpoint`` — iterations serialize through
+    executor storage, a documented throughput cost vs the default
+    every-``checkpoint_every`` truncation.  A non-default
+    ``checkpoint_every`` combined with ``redistribute_dangling`` warns,
+    since it will not be honored."""
+    if redistribute_dangling and checkpoint_every != 4:
+        import warnings
+
+        warnings.warn(
+            "page_rank(redistribute_dangling=True) localCheckpoints every "
+            "iteration; checkpoint_every is ignored in this mode",
+            stacklevel=2,
+        )
     if n_iter < 0:
         raise ValueError(f"n_iter must be >= 0, got {n_iter}")
     if not 0.0 <= damping <= 1.0:

@@ -27,9 +27,14 @@ def test_curate_job_end_to_end(spark, tmp_path, capsys):
     )
     assert rc == 0
 
-    # the CLI must equal the same stages composed directly
+    # the CLI must equal the same stages composed directly (the CLI
+    # defaults the dedup stage to char-5 shingles — r05 ADVICE — so the
+    # direct composition passes the same)
     pages = spark.read.parquet(src)
-    cur = curate_documents(pages, "url", "text", min_jaccard=0.8, min_words=30)
+    cur = curate_documents(
+        pages, "url", "text", min_jaccard=0.8, min_words=30,
+        dedup_mode="char", shingle_k=5,
+    )
     expect_keep = cur.filter(
         F.col("keep") & keep_fraction(F.col("url"), 0.7, "curate")
     )
@@ -82,7 +87,7 @@ def test_curate_job_minhash_impl(spark, tmp_path):
     pages = spark.read.parquet(src)
     cur = curate_documents(
         pages, "url", "text", min_jaccard=0.8, min_words=5,
-        dedup_impl="minhash",
+        dedup_impl="minhash", dedup_mode="char", shingle_k=5,
     )
     expect = cur.filter(F.col("keep"))
     back = spark.read.parquet(out)

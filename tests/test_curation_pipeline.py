@@ -147,3 +147,95 @@ def test_minhash_dedup_impl_null_text_and_bad_impl(spark):
     assert got[1] == "quality"  # null text fails gopher keep=false
     with _pytest.raises(ValueError, match="dedup_impl"):
         curate_documents(df, "doc_id", "text", dedup_impl="bogus")
+
+
+def test_auto_impl_selects_by_survivor_count(spark, monkeypatch):
+    """dedup_impl='auto' (the default) picks 'exact' at or below
+    EXACT_DEDUP_MAX_ROWS survivors and the LSH plan above it — the plan
+    pin the r05 verdict asked for."""
+    from snowy_json_spark.operators import pipeline
+
+    rows = [(i, GOOD + f" tail {i}") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    small = curate_documents(df, "doc_id", "text", min_jaccard=0.8, min_words=20)
+    # below the threshold auto == exact, bit for bit
+    exact = curate_documents(
+        df, "doc_id", "text", min_jaccard=0.8, min_words=20, dedup_impl="exact"
+    )
+    assert sorted(map(tuple, small.collect())) == sorted(map(tuple, exact.collect()))
+    # the exact plan has no Python signature stage
+    assert "ArrowEvalPython" not in small._jdf.queryExecution().executedPlan().toString()
+
+    # force the threshold under the corpus size: auto must take the
+    # LSH+prepass branch (the plan itself hides behind the
+    # connected-components localCheckpoint, so intercept the call)
+    calls = []
+    orig = pipeline.minhash_near_duplicates_prepass
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pipeline, "minhash_near_duplicates_prepass", spy)
+    monkeypatch.setattr(pipeline, "EXACT_DEDUP_MAX_ROWS", 5)
+    curate_documents(df, "doc_id", "text", min_jaccard=0.8, min_words=20)
+    assert calls, "auto above threshold must route to the minhash prepass path"
+
+
+def test_minhash_prepass_equivalent_and_cap_immune(spark):
+    """The exact-hash pre-pass (a) yields the same connected components
+    as the plain LSH path on an uncapped corpus, and (b) keeps finding
+    text-identical duplicates even when max_bucket_rows would drop
+    every one of their band buckets from the plain path."""
+    from snowy_json_spark.operators.dedup import (
+        connected_components,
+        minhash_near_duplicates,
+        minhash_near_duplicates_prepass,
+    )
+
+    # 12 copies of one text + 8 distinct docs
+    rows = [(i, GOOD) for i in range(12)]
+    import hashlib
+
+    rows += [
+        (
+            100 + i,
+            " ".join(
+                hashlib.md5(f"{i}:{j}".encode()).hexdigest() for j in range(12)
+            ),
+        )
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(threshold=0.8, n_hashes=32, n_bands=8, shingle_k=5, mode="char")
+
+    def clusters(pairs):
+        return {
+            tuple(sorted(g))
+            for g in _group(connected_components(pairs).collect())
+        }
+
+    def _group(rows_):
+        by = {}
+        for r in rows_:
+            by.setdefault(r["cluster"], []).append(r["node"])
+        return by.values()
+
+    plain = minhash_near_duplicates(df, "doc_id", "text", **kw)
+    pre = minhash_near_duplicates_prepass(df, "doc_id", "text", **kw)
+    assert clusters(plain) == clusters(pre) == {tuple(range(12))}
+
+    # cap of 5 < 12: every band bucket of the identical group is over
+    # cap, so the plain path finds nothing — the pre-pass still must
+    capped_plain = minhash_near_duplicates(
+        df, "doc_id", "text", max_bucket_rows=5, **kw
+    )
+    capped_pre = minhash_near_duplicates_prepass(
+        df, "doc_id", "text", max_bucket_rows=5, **kw
+    )
+    assert capped_plain.count() == 0
+    assert clusters(capped_pre) == {tuple(range(12))}
+    # exact edges carry est 1.0 and rep-min orientation
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in capped_pre.collect()}
+    assert got == {(0, i): 1.0 for i in range(1, 12)}
