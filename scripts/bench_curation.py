@@ -39,7 +39,7 @@ from snowy_json_spark.session import get_spark
 from snowy_json_spark.operators.urls import blocked_domain_match
 from snowy_json_spark.operators.text import gopher_flags
 from snowy_json_spark.operators.dedup import (
-    connected_components, dedup_representatives, minhash_near_duplicates,
+    connected_components, dedup_representatives, minhash_near_duplicates_prepass,
 )
 from snowy_json_spark.operators.sampling import keep_fraction
 from snowy_json_spark.sources.shards import write_training_shards
@@ -124,7 +124,12 @@ def run_dedup():
     # 64-hash first cut filled the sandbox disk at 10M rows.  Planted
     # J=1.0 dups collide in every band regardless; the bucket cap
     # bounds the same-template hot buckets.
-    pairs = minhash_near_duplicates(
+    # r06: the exact-hash pre-pass (minhash_near_duplicates_prepass)
+    # collapses the planted J=1.0 text-identical duplicates via a
+    # 16 B/row hash groupBy BEFORE LSH — r05 measured this stage at
+    # 29.9 GB shuffle / 251 s (72% of wall) with ~1k planted dups
+    # MISSED in over-cap buckets when they flowed through banding.
+    pairs = minhash_near_duplicates_prepass(
         s2.filter(F.col("text").isNotNull()).select("url", "text"),
         "url", "text", threshold=0.8, n_hashes=32, n_bands=4,
         shingle_k=5, mode="char", max_bucket_rows=200,

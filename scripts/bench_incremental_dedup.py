@@ -1,0 +1,149 @@
+"""Incremental/cross-corpus dedup scale exhibit (r05 VERDICT item 4).
+
+Builds a 10M-document minhash index (sigs + band keys), persists it as
+parquet the way a continuous-crawl ingest would, then probes it with a
+1M-document batch (0.5 % planted near-copies of indexed docs) and
+records wall + shuffle read/write bytes from the Spark UI REST API for
+(a) the index build+write and (b) the probe.  The plan-pinned claim
+"the index is never shuffled" gets its at-scale number here: probe
+shuffle must be ∝ batch + candidates, orders of magnitude under index
+size.
+
+Usage: python scripts/bench_incremental_dedup.py [--rows 10000000]
+Writes SCALE_INCREMENTAL.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+import urllib.request
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=10_000_000)
+    ap.add_argument("--batch-rows", type=int, default=1_000_000)
+    ap.add_argument("--cores", type=int, default=32)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from snowy_json_spark.operators.dedup import minhash_index, probe_index
+    from snowy_json_spark.session import get_spark
+
+    spark = get_spark(
+        "scale-incremental-dedup", cores=args.cores,
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    ui = spark.sparkContext.uiWebUrl
+
+    def rest(p):
+        with urllib.request.urlopen(ui + "/api/v1" + p) as r:
+            return json.loads(r.read())
+
+    app_id = rest("/applications")[0]["id"]
+
+    def shuffle_totals():
+        st = rest(f"/applications/{app_id}/stages?status=complete")
+        return (
+            sum(s.get("shuffleReadBytes", 0) for s in st),
+            sum(s.get("shuffleWriteBytes", 0) for s in st),
+        )
+
+    stages = []
+
+    def timed(name, fn):
+        r0, w0 = shuffle_totals()
+        t0 = time.monotonic()
+        result = fn()
+        wall = time.monotonic() - t0
+        r1, w1 = shuffle_totals()
+        stages.append(
+            {"stage": name, "wall_sec": round(wall, 2),
+             "shuffle_read_bytes": r1 - r0, "shuffle_write_bytes": w1 - w0,
+             "result": result}
+        )
+        print(f"  {name}: {wall:.1f}s  result={result}", file=sys.stderr)
+        return result
+
+    # deterministic synthetic corpus: doc_id + md5-token text (same
+    # construction family as the curation exhibit's pages text)
+    def corpus(n, id_offset=0, tag="idx"):
+        d = spark.range(0, n, 1, 256).select(
+            (F.col("id") + id_offset).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[F.md5(F.concat(F.lit(f"{tag}:{j}:"), F.col("id").cast("string")))
+                  for j in range(8)],
+            ).alias("text"),
+        )
+        return d
+
+    idx_dir = os.path.join(tempfile.gettempdir(), "incr_dedup_index")
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
+    kw = dict(n_hashes=64, n_bands=32, shingle_k=5, mode="char")
+
+    def build():
+        sigs, bands = minhash_index(corpus(args.rows), "doc_id", "text", **kw)
+        sigs.write.mode("overwrite").parquet(f"{idx_dir}/sigs")
+        bands.write.mode("overwrite").parquet(f"{idx_dir}/bands")
+        return args.rows
+
+    timed("index_build_write", build)
+
+    # probe batch: fresh docs + 0.5% planted near-copies of indexed docs
+    fresh = corpus(args.batch_rows - args.batch_rows // 200,
+                   id_offset=args.rows, tag="new")
+    planted = (
+        corpus(args.rows).filter(F.pmod(F.col("doc_id"), 200) == 7)
+        .limit(args.batch_rows // 200)
+        .select(
+            (F.col("doc_id") + 2 * args.rows).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" probe copy")).alias("text"),
+        )
+    )
+    batch = fresh.unionByName(planted)
+
+    idx_sigs = spark.read.parquet(f"{idx_dir}/sigs")
+    idx_bands = spark.read.parquet(f"{idx_dir}/bands")
+
+    def probe():
+        hits = probe_index(
+            *minhash_index(batch, "doc_id", "text", **kw),
+            idx_sigs, idx_bands, "doc_id", threshold=0.8, broadcast_new=True,
+        )
+        return hits.count()
+
+    n_hits = timed("probe_1M_batch", probe)
+
+    total = sum(s["wall_sec"] for s in stages)
+    out = {
+        "metric": "incremental_dedup_seconds",
+        "value": round(total, 2),
+        "unit": "sec",
+        "index_rows": args.rows,
+        "batch_rows": args.batch_rows,
+        "cores": args.cores,
+        "planted_copies": args.batch_rows // 200,
+        "probe_hits": n_hits,
+        "stages": stages,
+    }
+    with open(os.path.join(REPO, "SCALE_INCREMENTAL.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

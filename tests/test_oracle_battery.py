@@ -119,3 +119,15 @@ def test_driver_window_covers_operator_families():
     assert not missing, f"outside the driver-checked window: {sorted(missing)}"
     assert len(QUERY_NAMES) == len(set(QUERY_NAMES))
     assert set(QUERY_NAMES) >= set(ORACLES), "oracle without a query"
+
+
+def test_no_query_without_oracle_or_allowlist():
+    """r05 VERDICT item 8: a NEW query registered without an oracle (and
+    without an explicit rows-only allowlist entry) must fail loudly even
+    when the parametrized replay is skipped (e.g. test data absent).
+    The allowlist is intentionally empty — 1:1 queries:oracles."""
+    ROWS_ONLY_OK: set[str] = set()
+    unchecked = set(QUERY_NAMES) - set(ORACLES) - ROWS_ONLY_OK
+    assert not unchecked, (
+        f"queries registered without an oracle_sql entry: {sorted(unchecked)}"
+    )
