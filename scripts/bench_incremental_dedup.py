@@ -92,7 +92,14 @@ def main() -> None:
     idx_dir = os.path.join(tempfile.gettempdir(), "incr_dedup_index")
     shutil.rmtree(idx_dir, ignore_errors=True)
 
-    kw = dict(n_hashes=64, n_bands=32, shingle_k=5, mode="char")
+    # word-unigram shingles over md5 tokens: background Jaccard between
+    # random docs is ~0 (token space 16^32), so candidates ∝ planted
+    # copies.  A first cut used char-5 shingles over the hex tokens —
+    # a 16-character alphabet gives every pair of RANDOM docs J ≈ 0.15
+    # and 2-row bands turned that into ~10^9 background candidates
+    # (33 GB probe shuffle): a corpus-construction artifact, not an
+    # operator property, recorded here so it is not re-tried.
+    kw = dict(n_hashes=64, n_bands=16, shingle_k=1, mode="word")
 
     def build():
         sigs, bands = minhash_index(corpus(args.rows), "doc_id", "text", **kw)
@@ -110,7 +117,9 @@ def main() -> None:
         .limit(args.batch_rows // 200)
         .select(
             (F.col("doc_id") + 2 * args.rows).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" probe copy")).alias("text"),
+            # one appended token: J = 8/9 ≈ 0.889 vs the indexed doc —
+            # above the 0.8 threshold, banding miss prob ~1.6e-7
+            F.concat(F.col("text"), F.lit(" probecopy")).alias("text"),
         )
     )
     batch = fresh.unionByName(planted)

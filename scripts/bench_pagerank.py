@@ -34,6 +34,11 @@ def main() -> None:
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--cooldown", type=float, default=60.0)
+    ap.add_argument("--redistribute", action="store_true",
+                    help="measure redistribute_dangling=True (rank-mass "
+                         "conserving mode; localCheckpoints EVERY iteration "
+                         "— r05 VERDICT item 6 asks for its measured cost "
+                         "next to the default mode)")
     args = ap.parse_args()
 
     spark = get_spark("snowy-json-spark-pr-bench", cores=args.cpus)
@@ -58,7 +63,8 @@ def main() -> None:
     def run():
         return (
             page_rank(edges, "src", "dst", n_iter=args.iters,
-                      checkpoint_every=0)
+                      checkpoint_every=0 if not args.redistribute else 4,
+                      redistribute_dangling=args.redistribute)
             .agg(F.sum("rank"), F.max("rank"), F.count(F.lit(1)))
             .collect()
         )
@@ -76,6 +82,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "pagerank_20m_edges",
+                "redistribute_dangling": args.redistribute,
                 "edges": n,
                 "nodes_space": args.nodes,
                 "iters": args.iters,

@@ -1018,9 +1018,22 @@ def probe_index(
     a = new_sigs.select(F.col(id_col).alias("new_id"), F.col("minhash").alias("sig_a"))
     b = index_sigs.select(F.col(id_col).alias("old_id"), F.col("minhash").alias("sig_b"))
     eq = _sig_eq_count(F.col("sig_a"), F.col("sig_b"))
+    with_a = cands.join(F.broadcast(a) if broadcast_new else a, "new_id")
+    if broadcast_new:
+        # fetch sig_b by STREAMING the index through a broadcast hash
+        # join of (candidates + sig_a) — without the hint the planner
+        # sees only the index side's (large) size estimate and picks a
+        # sort-merge join that shuffles every index signature (r06
+        # measurement: a 10M-doc index's 5.2 GB sig table was shuffled
+        # for 5k candidates).  ``broadcast_new`` already asserts the
+        # batch side is small, and candidates are ∝ batch × collision
+        # rate; a corpus where candidates explode should pass
+        # broadcast_new=False and take the shuffle path.
+        joined = b.join(F.broadcast(with_a), "old_id")
+    else:
+        joined = with_a.join(b, "old_id")
     return (
-        cands.join(F.broadcast(a) if broadcast_new else a, "new_id")
-        .join(b, "old_id")
+        joined
         .select("new_id", "old_id", (eq / F.size(F.col("sig_a"))).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
     )
